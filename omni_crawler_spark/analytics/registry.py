@@ -1,0 +1,503 @@
+"""Named query registry: Spark DataFrame builders + DuckDB oracle SQL.
+
+Each entry re-expresses one operator from SURVEY.md §2 (reference
+citations in the docstrings) over the driver-generated test tables
+(``region nation customer supplier part orders lineitem events
+documents embeddings``). The Spark builder and the oracle SQL must
+produce identical (row-count, schema, order-insensitive value-hash)
+results — the driver enforces this at sf=0.01.
+
+Cross-engine determinism rules used throughout:
+- every computed column is aliased identically on both sides;
+- double aggregates go through ``DECIMAL(27,6)`` sums (exact, order-
+  independent) and explicit ``ROUND(sum/count, 4)`` averages;
+- timestamps are formatted to ``yyyy-MM-dd HH:mm:ss`` strings;
+- every LIMIT/top-k has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.analytics.tables import load_table
+from omni_crawler_spark.functions import enrich as E
+from omni_crawler_spark.functions import text as T
+from omni_crawler_spark.functions import urls as U
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+# words() split regex — must match functions/text.py::WORD_SPLIT_RE
+_SPLIT_SQL = "[^a-z0-9'']+"  # SQL-escaped single quote
+
+STOP_SQL = ", ".join(f"'{w}'" for w in E.STOPWORDS)
+
+
+@dataclass
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = field(default="")
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def davg_int(col, n=4):
+    """Exact cross-engine average of an integral column."""
+    return F.round(F.sum(col).cast("double") / F.count(F.lit(1)), n)
+
+
+def dsum(col):
+    """Order-independent (decimal) sum of a double column, as double."""
+    return F.sum(col.cast("decimal(27,6)")).cast("double")
+
+
+def davg_double(col, n=4):
+    return F.round(dsum(col) / F.count(F.lit(1)), n)
+
+
+_ORACLE_AVG_INT = "ROUND(CAST(SUM({c}) AS DOUBLE)/COUNT(*), {n})"
+_ORACLE_SUM_DBL = "CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE)"
+_ORACLE_AVG_DBL = (
+    "ROUND(CAST(SUM(CAST({c} AS DECIMAL(27,6))) AS DOUBLE)/COUNT(*), {n})"
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_global_count",
+    "SELECT COUNT(*) AS n_articles FROM documents",
+    doc="A1 — SELECT COUNT(*) (dashboard.py:597, omni_storage.py:298-306)",
+)
+def agg_global_count(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").agg(F.count("*").alias("n_articles"))
+
+
+@register(
+    "agg_count_distinct",
+    "SELECT COUNT(DISTINCT source) AS n_domains, "
+    "COUNT(DISTINCT lang) AS n_categories FROM documents",
+    doc="A2 — COUNT(DISTINCT domain) (dashboard.py:601-602; data_exporter.py:421-427)",
+)
+def agg_count_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").agg(
+        F.countDistinct("source").alias("n_domains"),
+        F.countDistinct("lang").alias("n_categories"),
+    )
+
+
+@register(
+    "agg_multi_stat",
+    "SELECT "
+    + _ORACLE_AVG_INT.format(c="n_chars", n=4)
+    + " AS avg_len, MIN(n_chars) AS min_len, MAX(n_chars) AS max_len, "
+    "COUNT(CASE WHEN n_chars >= 300 THEN 1 END) AS n_long FROM documents",
+    doc="A3 — AVG/MIN/MAX + conditional COUNT in one pass (dashboard.py:604-618)",
+)
+def agg_multi_stat(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        davg_int(F.col("n_chars")).alias("avg_len"),
+        F.min("n_chars").alias("min_len"),
+        F.max("n_chars").alias("max_len"),
+        F.count(F.when(F.col("n_chars") >= 300, 1)).alias("n_long"),
+    )
+
+
+@register(
+    "agg_by_category",
+    "SELECT lang AS category, COUNT(*) AS cnt, "
+    + _ORACLE_AVG_INT.format(c="n_chars", n=4)
+    + " AS avg_len FROM documents GROUP BY lang "
+    "ORDER BY cnt DESC, category",
+    doc="A4 — GROUP BY category ORDER BY count DESC (dashboard.py:626-632,761-766)",
+)
+def agg_by_category(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("category"))
+        .agg(F.count("*").alias("cnt"), davg_int(F.col("n_chars")).alias("avg_len"))
+        .orderBy(F.desc("cnt"), "category")
+    )
+
+
+@register(
+    "agg_domain_topn",
+    "SELECT source AS domain, COUNT(*) AS cnt, "
+    + _ORACLE_AVG_INT.format(c="n_chars", n=4)
+    + " AS avg_len, "
+    "COUNT(CASE WHEN n_chars >= 300 THEN 1 END) AS n_long "
+    "FROM documents GROUP BY source HAVING COUNT(*) >= 1 "
+    "ORDER BY cnt DESC, domain LIMIT 15",
+    doc="A5 — per-domain stats top-15 (dashboard.py:931-943; data_exporter.py:456-463)",
+)
+def agg_domain_topn(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.count("*").alias("cnt"),
+            davg_int(F.col("n_chars")).alias("avg_len"),
+            F.count(F.when(F.col("n_chars") >= 300, 1)).alias("n_long"),
+        )
+        .filter(F.col("cnt") >= 1)
+        .orderBy(F.desc("cnt"), "domain")
+        .limit(15)
+    )
+
+
+@register(
+    "agg_daily_counts",
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt, "
+    + _ORACLE_AVG_DBL.format(c="value", n=4)
+    + " AS avg_value FROM events GROUP BY day ORDER BY day",
+    doc="A6 — GROUP BY DATE(processing_timestamp) (data_exporter.py:473-479)",
+)
+def agg_daily_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt"), davg_double(F.col("value")).alias("avg_value"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_pivot_daily_type",
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    + ", ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY day ORDER BY day",
+    doc="A7 — pivoted time×label series with zero-fill (dashboard.py:839-873)",
+)
+def agg_pivot_daily_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_word_topk",
+    f"""
+    SELECT word, COUNT(*) AS cnt FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '{_SPLIT_SQL}')) AS word
+      FROM documents
+    ) WHERE word <> '' AND word NOT IN ({STOP_SQL})
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 15
+    """,
+    doc="A8 — tokenize, stopword-filter, top-15 (content_enricher.py:164-178)",
+)
+def agg_word_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in E.STOPWORDS])
+    return (
+        d.select(F.explode(T.words(F.col("text"))).alias("word"))
+        .filter(~F.array_contains(stop, F.col("word")))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(15)
+    )
+
+
+@register(
+    "agg_quality_buckets",
+    "SELECT CASE WHEN n_chars < 150 THEN 'short' WHEN n_chars < 300 THEN 'medium' "
+    "WHEN n_chars < 450 THEN 'long' ELSE 'very_long' END AS bucket, "
+    "COUNT(*) AS cnt FROM documents GROUP BY bucket ORDER BY cnt DESC, bucket",
+    doc="A9 — ES range-bucket facets (<50,50-70,70-85,85+) (advanced_search.py:151-181)",
+)
+def agg_quality_buckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 150, "short")
+        .when(F.col("n_chars") < 300, "medium")
+        .when(F.col("n_chars") < 450, "long")
+        .otherwise("very_long")
+    )
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bucket")
+    )
+
+
+@register(
+    "agg_success_rate",
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    "ROUND(CAST(COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS DOUBLE)"
+    "/COUNT(*), 4) AS success_rate FROM events GROUP BY day ORDER BY day",
+    doc="A10 — success-rate over recent records (system_monitor.py:127-141)",
+)
+def agg_success_rate(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(
+                F.count(F.when(F.col("event_type") != "error", 1)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("success_rate")
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_search_analytics",
+    "SELECT event_type AS query, COUNT(*) AS n_searches, "
+    + _ORACLE_SUM_DBL.format(c="value")
+    + " AS total_results, "
+    "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_searched "
+    "FROM events GROUP BY event_type ORDER BY query",
+    doc="A11 — per-query count/total/last-seen (advanced_search.py:250-276)",
+)
+def agg_search_analytics(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("query"))
+        .agg(
+            F.count("*").alias("n_searches"),
+            dsum(F.col("value")).alias("total_results"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_searched"),
+        )
+        .orderBy("query")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window / ranking / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_recent_100",
+    "SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s "
+    "FROM events ORDER BY ts DESC, event_id DESC LIMIT 100",
+    doc="W1 — recent-100 ring buffer (omni_storage.py:264-266)",
+)
+def window_recent_100(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .drop("ts")
+    )
+
+
+@register(
+    "window_topk",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    doc="W2 — ORDER BY quality DESC LIMIT 10 (data_exporter.py:489-495)",
+)
+def window_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "window_pagination",
+    "SELECT doc_id, source, n_chars FROM documents "
+    "ORDER BY doc_id LIMIT 20 OFFSET 40",
+    doc="W3 — LIMIT/OFFSET pagination (dashboard.py:661-676)",
+)
+def window_pagination(spark, sf_dir):
+    w = Window.orderBy("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
+        .drop("rn")
+    )
+
+
+@register(
+    "window_per_group_topk",
+    "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+    "  SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "  ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
+    ") WHERE rn <= 3",
+    doc="W4 — per-host priority queue analog: top-3 per group "
+    "(url_discovery_engine.py:102-103)",
+)
+def window_per_group_topk(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_fact_dim",
+    "SELECT r.r_name AS region, COUNT(*) AS n_orders, "
+    + _ORACLE_SUM_DBL.format(c="o.o_totalprice")
+    + " AS revenue FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r.r_name ORDER BY region",
+    doc="J1 — fact⋈dim star join with broadcast dims (data_exporter.py:391-396)",
+)
+def join_fact_dim(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("region")
+    )
+
+
+@register(
+    "join_lineitem_part",
+    "SELECT p.p_brand AS brand, COUNT(*) AS n_items, "
+    + _ORACLE_SUM_DBL.format(c="l.l_quantity")
+    + " AS total_qty, "
+    + _ORACLE_AVG_DBL.format(c="l.l_extendedprice", n=4)
+    + " AS avg_price FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "GROUP BY p.p_brand ORDER BY brand",
+    doc="J1b — big-fact ⋈ mid-dim (broadcast) with multi-agg",
+)
+def join_lineitem_part(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+            davg_double(F.col("l_extendedprice")).alias("avg_price"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Set ops / dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_hash",
+    "SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, "
+    "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+    doc="D2 — content-hash dedup (enhanced_article.py:84-87; "
+    "content_enricher.py:254-259)",
+)
+def dedup_exact_hash(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "set_union",
+    "SELECT doc_id FROM documents WHERE doc_id < 100 "
+    "UNION SELECT doc_id FROM documents WHERE doc_id BETWEEN 50 AND 150",
+    doc="D3 — frontier union across discovery sources "
+    "(url_discovery_engine.py:94-105)",
+)
+def set_union(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select("doc_id")
+    b = d.filter(F.col("doc_id").between(50, 150)).select("doc_id")
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Bench headline: TPC-H Q1-style pricing summary over lineitem
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    + _ORACLE_SUM_DBL.format(c="l_quantity")
+    + " AS sum_qty, "
+    + _ORACLE_SUM_DBL.format(c="l_extendedprice")
+    + " AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)"
+    " AS sum_disc_price, "
+    + _ORACLE_AVG_DBL.format(c="l_quantity", n=4)
+    + " AS avg_qty, "
+    + _ORACLE_AVG_DBL.format(c="l_extendedprice", n=4)
+    + " AS avg_price, COUNT(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus",
+    doc="bench headline — scan-heavy multi-agg (maps A3/A5 at scale)",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg_double(F.col("l_quantity")).alias("avg_qty"),
+            davg_double(F.col("l_extendedprice")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+One place to encode the configuration we would ship to a real
+1000-executor cluster, scaled down to ``local[N]`` for the sandbox:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- Arrow on (every pandas UDF crosses the JVM/Python boundary in
+  columnar batches, never row-at-a-time),
+- shuffle partitions sized to the local core count (on a cluster this
+  would be ~2-3x total cores; AQE coalesces down after),
+- small broadcast threshold kept at default so dimension tables
+  (region/nation/hosts/rules) broadcast automatically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "omni-crawler-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` maps to ``local[cpus]`` in the sandbox; on a real cluster
+    the same code runs unchanged under ``spark-submit --py-files``
+    (master comes from the environment, not from here).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # deterministic session timezone so timestamp-derived results
+        # are identical across runs/hosts (and match the DuckDB oracle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,42 @@
+"""Smoke + shape tests for the analytics query registry (SURVEY §2).
+
+Full value-level verification against DuckDB runs in
+tools/check_correctness.py (and in the driver's sf0.01 gate); here we
+assert structural invariants at sf0.001 so pytest stays fast.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from omni_crawler_spark.analytics.registry import REGISTRY
+from omni_crawler_spark.analytics.tables import TABLE_NAMES
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs_and_matches_oracle(spark, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.build(spark, sf_dir)
+    pdf = sdf.toPandas()
+    assert pdf is not None
+    if q.oracle is None:
+        return
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    odf = con.execute(q.oracle).fetchdf()
+    assert len(pdf) == len(odf), f"{name}: row count mismatch"
+    assert sorted(c.lower() for c in pdf.columns) == sorted(
+        c.lower() for c in odf.columns
+    ), f"{name}: schema mismatch"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
