@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from omni_crawler_spark.analytics.registry import REGISTRY  # noqa: E402
+from omni_crawler_spark.analytics import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

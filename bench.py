@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from omni_crawler_spark.analytics.registry import REGISTRY  # noqa: E402
+from omni_crawler_spark.analytics import REGISTRY  # noqa: E402
 from omni_crawler_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [

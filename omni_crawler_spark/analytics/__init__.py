@@ -1,2 +1,12 @@
 """Named analytics queries (the reference's dashboard/search/export
-surface re-expressed as DataFrame builders) plus DuckDB oracle twins."""
+surface re-expressed as DataFrame builders) plus DuckDB oracle twins.
+
+Importing this package populates the full REGISTRY (core + enrich +
+crawl + similarity modules register themselves on import).
+"""
+
+from omni_crawler_spark.analytics import registry as _core  # noqa: F401
+from omni_crawler_spark.analytics import registry_crawl as _crawl  # noqa: F401
+from omni_crawler_spark.analytics import registry_enrich as _enrich  # noqa: F401
+from omni_crawler_spark.analytics import registry_sim as _sim  # noqa: F401
+from omni_crawler_spark.analytics.registry import REGISTRY  # noqa: F401

@@ -1,0 +1,226 @@
+"""Enrichment & text-analysis queries (SURVEY §2.7-2.8) with oracles.
+
+These exercise the pure-column enrichment layer
+(omni_crawler_spark/functions/{text,enrich}.py) over the `documents`
+table, with DuckDB oracles that re-derive the same semantics
+independently — so the oracle checks the *semantics*, not the
+implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.analytics.registry import _SPLIT_SQL, _t, register
+from omni_crawler_spark.functions import enrich as E
+from omni_crawler_spark.functions import text as T
+
+_WORDS_SQL = (
+    f"list_filter(regexp_split_to_array(lower(text), '{_SPLIT_SQL}'), "
+    "w -> w <> '')"
+)
+_COMMON_SQL = ", ".join(f"'{w}'" for w in T.COMMON_EN_WORDS)
+_POS_SQL = ", ".join(f"'{w}'" for w in E.POSITIVE_WORDS)
+_NEG_SQL = ", ".join(f"'{w}'" for w in E.NEGATIVE_WORDS)
+
+
+@register(
+    "enrich_doc_profile",
+    f"""
+    SELECT doc_id, n_words,
+           GREATEST(1, CAST(round_even(n_words/200.0, 0) AS INT)) AS read_time,
+           CASE WHEN len(list_intersect(list_distinct(w), [{_COMMON_SQL}])) >= 6
+                THEN 'en' ELSE 'unknown' END AS lang_id
+    FROM (SELECT doc_id, {_WORDS_SQL} AS w, len({_WORDS_SQL}) AS n_words
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    doc="F9/F10/F13 — word count, read-time (banker's round, mirrors Python "
+    "round in content_enricher.py:195-203), language heuristic (:180-193)",
+)
+def enrich_doc_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_words = T.word_count(F.col("text"))
+    read_time = F.greatest(
+        F.lit(1), F.bround(n_words / F.lit(200.0)).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        read_time.alias("read_time"),
+        T.detect_language(F.col("text")).alias("lang_id"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "enrich_sentiment",
+    f"""
+    SELECT doc_id, pos_hits, neg_hits,
+           CASE WHEN pos_hits + neg_hits = 0 THEN 0.0
+                ELSE ROUND(CAST(pos_hits - neg_hits AS DOUBLE)
+                           / (pos_hits + neg_hits), 4) END AS polarity,
+           CASE WHEN (CASE WHEN pos_hits + neg_hits = 0 THEN 0.0
+                      ELSE ROUND(CAST(pos_hits - neg_hits AS DOUBLE)
+                                 / (pos_hits + neg_hits), 4) END) > 0.1
+                THEN 'positive'
+                WHEN (CASE WHEN pos_hits + neg_hits = 0 THEN 0.0
+                      ELSE ROUND(CAST(pos_hits - neg_hits AS DOUBLE)
+                                 / (pos_hits + neg_hits), 4) END) < -0.1
+                THEN 'negative' ELSE 'neutral' END AS label
+    FROM (SELECT doc_id,
+                 len(list_filter({_WORDS_SQL}, w -> w IN ({_POS_SQL}))) AS pos_hits,
+                 len(list_filter({_WORDS_SQL}, w -> w IN ({_NEG_SQL}))) AS neg_hits
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    doc="N4 — lexicon sentiment (content_enricher.py:205-229) + label "
+    "thresholds (content_enhancement.py:99-130)",
+)
+def enrich_sentiment(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    polarity, pos, neg = E.sentiment_lexicon(F.col("text"))
+    return d.select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        polarity.alias("polarity"),
+        E.sentiment_label(polarity).alias("label"),
+    ).orderBy("doc_id")
+
+
+_CAT_CASE = "CASE " + " ".join(
+    "WHEN ("
+    + " OR ".join(f"lower(text) LIKE '%{kw}%'" for kw in kws)
+    + f") THEN '{cat}'"
+    for cat, kws in E.CATEGORY_KEYWORDS
+) + " ELSE 'general' END"
+
+
+@register(
+    "enrich_categorize",
+    f"SELECT doc_id, {_CAT_CASE} AS category FROM documents ORDER BY doc_id",
+    doc="N8 — first keyword-list hit wins (content_enhancement.py:202-219)",
+)
+def enrich_categorize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", E.categorize(F.col("text")).alias("category")
+    ).orderBy("doc_id")
+
+
+@register(
+    "enrich_quality_rubric",
+    """
+    SELECT doc_id,
+      LEAST(100,
+        (CASE WHEN n_chars >= 2000 THEN 30 WHEN n_chars >= 1000 THEN 20
+              WHEN n_chars >= 500 THEN 15 WHEN n_chars >= 200 THEN 10
+              ELSE 0 END)
+        + (CASE WHEN len(title) BETWEEN 10 AND 100 THEN 20
+                WHEN len(title) > 0 THEN 10 ELSE 0 END)
+        + (CASE WHEN n_entities >= 10 THEN 30 WHEN n_entities >= 5 THEN 20
+                WHEN n_entities >= 1 THEN 10 ELSE 0 END)
+        + (CASE WHEN n_authors > 0 THEN 10 ELSE 0 END)
+        + (CASE WHEN has_image THEN 10 ELSE 0 END)) AS quality_score
+    FROM (SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % 3 = 0 THEN 'Doc ' || doc_id
+                      ELSE 'Document number ' || doc_id END AS title,
+                 CAST(doc_id % 12 AS INT) AS n_entities,
+                 CAST(doc_id % 4 AS INT) AS n_authors,
+                 (doc_id % 5) <> 0 AS has_image
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    doc="N7 — additive 0-100 quality rubric "
+    "(content_enhancement.py:155-200); entity/author/image inputs derived "
+    "deterministically from doc_id",
+)
+def enrich_quality_rubric(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    title = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("Doc "), F.col("doc_id"))
+    ).otherwise(F.concat(F.lit("Document number "), F.col("doc_id")))
+    # quality_score's content-length term uses length(content); feed a
+    # content column whose length equals n_chars (the text itself)
+    return d.select(
+        "doc_id",
+        E.quality_score(
+            content=F.col("text"),
+            title=title,
+            n_entities=(F.col("doc_id") % 12).cast("int"),
+            n_authors=(F.col("doc_id") % 4).cast("int"),
+            has_image=(F.col("doc_id") % 5) != 0,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "enrich_confidence",
+    """
+    SELECT doc_id,
+      ROUND((
+        (CASE WHEN n_chars >= 1000 THEN 1.0 WHEN n_chars >= 500 THEN 0.8
+              WHEN n_chars >= 200 THEN 0.6 ELSE 0.3 END)
+        + (CASE WHEN n_entities >= 10 THEN 1.0 WHEN n_entities >= 5 THEN 0.8
+                WHEN n_entities >= 1 THEN 0.6 ELSE 0.2 END)
+        + (CASE WHEN n_keywords >= 10 THEN 1.0 WHEN n_keywords >= 5 THEN 0.8
+                WHEN n_keywords >= 1 THEN 0.6 ELSE 0.2 END)) / 3, 2)
+      AS confidence
+    FROM (SELECT doc_id, n_chars, CAST(doc_id % 12 AS INT) AS n_entities,
+                 CAST(doc_id % 15 AS INT) AS n_keywords FROM documents)
+    ORDER BY doc_id
+    """,
+    doc="N9 — mean of 3 bucketed factors, 2dp "
+    "(content_enricher.py:261-298)",
+)
+def enrich_confidence(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        E.confidence_score(
+            content=F.col("text"),
+            n_entities=(F.col("doc_id") % 12).cast("int"),
+            n_keywords=(F.col("doc_id") % 15).cast("int"),
+        ).alias("confidence"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+    "AS fingerprint FROM documents ORDER BY doc_id",
+    doc="document fingerprint — md5 over whitespace-normalized lowered text "
+    "(normalization per content_cleaner.py:221-244)",
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@register(
+    "json_extract_props",
+    "SELECT event_type, COUNT(*) AS cnt, "
+    "ROUND(CAST(SUM(k) AS DOUBLE)/COUNT(*), 4) AS avg_k, "
+    "MIN(k) AS min_k, MAX(k) AS max_k FROM ("
+    "  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k"
+    "  FROM events) GROUP BY event_type ORDER BY event_type",
+    doc="F15 analog — schema-on-read JSON field extraction "
+    "(omni_storage.py:507-516 parses JSON fields back on read)",
+)
+def json_extract_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,175 @@
+"""Dedup + similarity queries (training-data-pipeline operators).
+
+Oracle-paired where the math is cross-engine deterministic (exact
+Jaccard, brute-force cosine); rows-only where the operator is
+approximate by design (MinHash-LSH, SimHash, LSH-ANN) — those get
+planted-duplicate pytest coverage in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.analytics.registry import _t, register
+from omni_crawler_spark.operators import dedup as D
+from omni_crawler_spark.operators import similarity as S
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(1, len(lower(text)) - 4)), "
+    "i -> substr(lower(text), i, 5)))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+             {_SHINGLES_SQL} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="n-gram Jaccard near-dup — exact 5-gram shingle Jaccard over "
+    "(lang, length-bucket) blocked pairs; the exact-verify stage of the "
+    "MinHash pipeline (operators/dedup.py::jaccard_verify)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        D.char_shingles(F.col("text"), 5).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qe, ne)
+                       / (sqrt(list_dot_product(qe, qe))
+                          * sqrt(list_dot_product(ne, ne))), 4) AS sim
+          FROM q JOIN c ON neighbor_id <> query_id),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="similarity search baseline — brute-force exact cosine top-5 for "
+    "query vectors (operators/similarity.py::cosine_topk); broadcast "
+    "queries × corpus, per-query window top-k",
+)
+def sim_topk_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, query_ids=[0, 1, 2, 3, 4], k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    doc="embedding-cosine near-dup (exact all-pairs for the oracle; the "
+    "LSH-bucketed scale path is dedup_embedding_lsh, rows-only)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= 0.9)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,
+    doc="MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join), "
+    "approximate by design → pytest planted-duplicate coverage in "
+    "tests/test_dedup.py; operators/dedup.py::minhash_lsh_candidates",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_candidates(d, "doc_id", "text", num_perm=32, bands=8)
+    return D.jaccard_verify(d, cand, "doc_id", "text", threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="SimHash near-dup pairs (hamming<=3, banded blocking), "
+    "operators/dedup.py::simhash_candidates",
+)
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_candidates(d, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    None,
+    doc="LSH-bucketed approximate top-k (scale path of sim_topk_cosine), "
+    "operators/similarity.py::ann_lsh_topk; recall vs exact asserted in "
+    "tests/test_similarity.py",
+)
+def sim_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4).orderBy(
+        "query_id", "rank"
+    )

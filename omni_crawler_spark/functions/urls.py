@@ -102,7 +102,7 @@ def url_seen_md5(url: Column) -> Column:
     """Reference-compatible seen key: hex md5 of the raw URL
     (src/discovery/url_discovery_engine.py:108-115). Kept for
     byte-identical seen-set comparison against reference semantics."""
-    return F.md5(url)
+    return F.md5(url.cast("binary"))
 
 
 def seen_bucket(hash64: Column, num_buckets: int) -> Column:

@@ -1,0 +1,270 @@
+"""Deduplication operators.
+
+The reference only does exact content-hash dedup
+(src/models/enhanced_article.py:84-87 sha256(title+content+url);
+`duplicate_of` reserved but unused). For a web-scale corpus we add the
+standard near-dup family. Scale notes per operator:
+
+- exact: hash-groupBy → one shuffle on a 64-hex key; at 10^10 rows
+  pre-bucket by hash prefix so AQE coalesces balanced partitions.
+- MinHash+LSH: signature computation is embarrassingly parallel and
+  columnar (nested higher-order functions, no Python); the only
+  shuffle is the band-bucket self-join, whose output is bounded by
+  collision count, not n².
+- SimHash: vectorized pandas UDF (64 bit-planes don't express well
+  as columns); near-dup = banded hamming join.
+- n-gram Jaccard: exact verify step for LSH candidates (or blocked
+  pairs at small scale).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (D2)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per exact content hash — deterministic
+    (dropDuplicates picks an arbitrary row; min-id is reproducible)."""
+    h = F.sha2(F.col(content_col).cast("binary"), 256).alias("content_hash")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH (columnar — no Python in the hot path)
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams, lowercased. Pure higher-order
+    column functions → whole-stage codegen."""
+    t = F.lower(text)
+    n = F.length(t)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), n - (k - 1))),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """Array of ``num_perm`` min-hashes. Permutation i is simulated by
+    xxhash64(shingle, seed=i) — one nested transform, fully columnar;
+    O(|shingles| * num_perm) JVM ops, zero Python."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """One 2-tuple struct (band_id, band_hash) per band. Docs sharing
+    any band bucket are candidate pairs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.hash(F.slice(signature, b * rows_per_band + 1, rows_per_band)).alias(
+                "band_hash"
+            ),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via MinHash banding.
+
+    Plan shape: scan → columnar signature → explode(bands) →
+    self-join on (band, band_hash). The self-join is the only
+    shuffle; its key space is the band buckets so skew only occurs if
+    many docs are near-identical — exactly the rows we want colliding.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(
+            char_shingles(F.col(text_col), shingle_k), num_perm
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs → confirmed near-dups.
+    Joins are semi-bounded by the candidate count, never n²."""
+    sh = df.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Full near-dup dedup: LSH candidates → Jaccard verify →
+    connected 'keep lowest id per duplicate pair' pass. (True
+    connected components would need iteration; keeping min-id per
+    confirmed pair matches the reference's keep-first semantics.)"""
+    cand = minhash_lsh_candidates(df, id_col, text_col, **kw)
+    dups = jaccard_verify(df, cand, id_col, text_col, threshold=threshold)
+    drop_ids = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop_ids, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — 64 bit-planes don't express as columns)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (Charikar). Arrow-batched;
+    numpy does the bit-plane accumulation per batch."""
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words = [w for w in "".join(
+            c if c.isalnum() else " " for c in t.lower()
+        ).split() if w]
+        if not words:
+            continue
+        hashes = np.array(
+            [hash_word(w) for w in words], dtype=np.uint64
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def hash_word(w: str) -> int:
+    """Deterministic 64-bit word hash (FNV-1a) — stable across
+    processes, unlike Python's salted hash()."""
+    h = 0xCBF29CE484222325
+    for ch in w.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 16-bit bands — any
+    pair within hamming distance 3 must agree on at least one band
+    (pigeonhole), so the self-join on (band_id, band_value) finds all
+    of them without an n² comparison.
+    """
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the full corpus; the dot product is a columnar fold
+(zip_with + aggregate) in double precision, left-to-right, so scores
+are bit-reproducible across engines/partitionings.
+
+Scale path: random-hyperplane LSH bucketing — at 10^10 vectors the
+broadcast-queries pattern still works (queries are small), but
+all-pairs near-dup needs bucketing so the self-join is bounded by
+collisions, not n².
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for the given query ids.
+
+    Physical plan: broadcast-nested-loop of |queries| × corpus (the
+    query side is tiny → broadcast), then per-query top-k via
+    row_number window partitioned by query — no global sort.
+    """
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"), "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Vectorized random-hyperplane LSH signature: one int bucket per
+    vector. Arrow batches → one numpy matmul per batch (no per-row
+    Python)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        bits = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only score candidates sharing the query's
+    LSH bucket. With n_planes=8 → 256 buckets, each query scores
+    ~corpus/256 candidates instead of the full corpus. Recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher
+    recall, more work)."""
+    bucket = lsh_bucket_udf(dim, n_planes)
+    tagged = embeddings.withColumn("bucket", bucket(F.col(vec_col)))
+    q = tagged.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"), "bucket"
+    )
+    c = tagged.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").alias("rank"), "sim")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold, LSH-bucketed so the
+    self-join is bounded by bucket collisions (near-identical vectors
+    always share every-bit buckets at high threshold)."""
+    bucket = lsh_bucket_udf(dim, n_planes)
+    tagged = embeddings.select(
+        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "sim",
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "sim",
+        )
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from omni_crawler_spark.analytics.registry import REGISTRY
+from omni_crawler_spark.analytics import REGISTRY
 from omni_crawler_spark.analytics.tables import TABLE_NAMES
 
 

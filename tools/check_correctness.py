@@ -43,7 +43,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
-    from omni_crawler_spark.analytics.registry import REGISTRY
+    from omni_crawler_spark.analytics import REGISTRY
     from omni_crawler_spark.analytics.tables import TABLE_NAMES
     from omni_crawler_spark.session import get_spark
 
