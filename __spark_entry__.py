@@ -23,8 +23,10 @@ from omni_crawler_spark.analytics import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-domain top-N stats (SURVEY §2.4 A5) on sf0.001."""
-    return REGISTRY["agg_domain_topn"].build(spark, "/root/testdata/sf0.001")
+    """Flagship: the end-to-end frontier drain (seeds → canonicalize →
+    bloom seen-filter → robots → politeness schedule → batched fetch →
+    extract/validate → snapshot commits), SURVEY §3.1/§7."""
+    return REGISTRY["crawl_frontier_drain"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

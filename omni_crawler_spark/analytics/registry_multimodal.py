@@ -1,0 +1,79 @@
+"""Multimodal + end-to-end crawl queries (rows-only: their inputs are
+the deterministic generated images/frontier, not the driver's parquet
+tables, so there is no DuckDB twin — pytest owns their correctness:
+tests/test_images.py, tests/test_frontier.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.analytics.registry import register
+from omni_crawler_spark.operators import multimodal as M
+
+
+@register(
+    "multimodal_decode_validate",
+    None,
+    doc="N11 — image decode/validate inside Arrow UDF batches: per-fmt "
+    "summary of dims/phash/PSNR gates (north rule: allclose lossless, "
+    "PSNR>=40dB lossy). Inputs generated deterministically (input_hint "
+    "schema); invariants pytest-verified in tests/test_images.py",
+)
+def multimodal_decode_validate(spark, sf_dir):
+    imgs = M.generate_images_df(spark, 200, partitions=8)
+    res = M.decode_validate(imgs)
+    return (
+        res.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("ok").cast("int")).alias("n_ok"),
+            F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+            F.round(F.min("psnr_db"), 2).alias("min_psnr_db"),
+            F.sum(F.col("lossless_exact").cast("int")).alias("n_exact"),
+        )
+        .orderBy("fmt")
+    )
+
+
+@register(
+    "multimodal_image_features",
+    None,
+    doc="image feature extraction (decode → channel means + 8x8 "
+    "thumbnail) over the binary column via mapInPandas — the pattern "
+    "for any downstream embedding model",
+)
+def multimodal_image_features(spark, sf_dir):
+    imgs = M.generate_images_df(spark, 100, partitions=8)
+    return M.image_features(imgs).orderBy("image_id")
+
+
+@register(
+    "crawl_frontier_drain",
+    None,
+    doc="the flagship end-to-end pipeline (SURVEY §3.1): seeds → "
+    "canonicalize/hash → bloom+anti-join seen filter → robots → "
+    "politeness schedule (host×lane) → batched fetch → extract/validate "
+    "→ snapshot commits; parity vs the pure-Python reference simulator "
+    "is pytest-verified (tests/test_frontier.py)",
+)
+def crawl_frontier_drain(spark, sf_dir):
+    from omni_crawler_spark.frontier.crawl import CrawlEngine
+    from omni_crawler_spark.frontier.synthetic import (
+        generate_hosts,
+        generate_seeds,
+    )
+
+    wh = tempfile.mkdtemp(prefix="drain-query-", dir="/tmp")
+    eng = CrawlEngine(wh, cycle_budget_ms=10**9)
+    eng.bootstrap(generate_seeds(spark, 1500, partitions=8), generate_hosts(spark))
+    eng.run_cycle(spark, 1)
+    return (
+        eng.crawl_order(spark, cycle_id=1)
+        .select(
+            "host", "lane", "crawl_seq", "start_ms", "url_canonical",
+            "title", "quality_score", "category", "word_count",
+        )
+    )

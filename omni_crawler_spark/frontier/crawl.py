@@ -1,0 +1,247 @@
+"""CrawlEngine — the micro-cycle orchestrator (SURVEY §3.1 rebuilt).
+
+One cycle = one pure DataFrame lineage:
+
+    frontier ──dedup──▶ candidates
+      ──bloom+anti-join (seen)──▶ new URLs
+      ──robots filter──▶ allowed
+      ──politeness schedule (host×lane)──▶ scheduled | deferred
+      ──batched fetch──▶ raw pages
+      ──extract + validate (pure columns)──▶ articles
+      ──commits──▶ fetched / seen / frontier' / lineage_metrics
+
+State lives in SnapshotTables (Iceberg stand-in, lakehouse/table.py):
+every phase commit is atomic and idempotent (op_id = cycle+phase), so
+a crash anywhere during a cycle resumes by simply re-running the
+cycle — already-committed phases no-op, uncommitted ones recompute
+from the same deterministic inputs and produce identical bytes
+(asserted by tests/test_resume.py).
+
+Replaces the reference's run_single_cycle
+(src/orchestrator/omni_orchestrator.py:73-117): Redis seen-set → bloom
++ anti-join; asyncio semaphore → host×lane partitions; per-record
+SQLite writes → bulk snapshot commits; stats dict (:185-207) →
+lineage_metrics table rows per partition and phase.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.frontier import bloom as B
+from omni_crawler_spark.frontier import politeness as P
+from omni_crawler_spark.frontier.fetch import fetch_extract_validate
+from omni_crawler_spark.functions import urls as U
+from omni_crawler_spark.lakehouse import SnapshotTable
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        warehouse: str,
+        num_buckets: int = B.DEFAULT_BUCKETS,
+        cycle_budget_ms: int = 120_000,
+    ):
+        self.warehouse = warehouse
+        self.num_buckets = num_buckets
+        self.cycle_budget_ms = cycle_budget_ms
+        self.frontier = SnapshotTable(os.path.join(warehouse, "frontier"), "frontier")
+        self.seen = SnapshotTable(os.path.join(warehouse, "seen"), "seen")
+        self.fetched = SnapshotTable(os.path.join(warehouse, "fetched"), "fetched")
+        self.hosts = SnapshotTable(os.path.join(warehouse, "hosts"), "hosts")
+        self.plan = SnapshotTable(os.path.join(warehouse, "plan"), "plan")
+        self.lineage = SnapshotTable(os.path.join(warehouse, "lineage"), "lineage")
+
+    # ------------------------------------------------------------------ setup
+
+    def bootstrap(self, seeds: DataFrame, hosts: DataFrame) -> None:
+        """Seed the frontier: canonicalize, hash, host-split. Idempotent."""
+        f = seeds.withColumns(
+            {
+                "url_canonical": U.canonicalize_url(F.col("url")),
+            }
+        ).withColumns(
+            {
+                "url_hash": U.url_hash64(F.col("url_canonical")),
+                "host": U.url_host(F.col("url_canonical")),
+            }
+        )
+        self.frontier.append(f, op_id="bootstrap")
+        self.hosts.overwrite(hosts, op_id="bootstrap-hosts")
+
+    # ------------------------------------------------------------------ cycle
+
+    def _read_seen(self, spark: SparkSession) -> DataFrame:
+        if self.seen.is_empty():
+            return spark.createDataFrame([], "url_hash long")
+        return self.seen.read(spark)
+
+    def candidates(self, spark: SparkSession) -> DataFrame:
+        """Frontier dedup: one row per url_hash, keeping the best
+        (priority desc, discovery_ts asc, url asc) entry — a single
+        shuffle on url_hash via max_by over a sortable struct."""
+        f = self.frontier.read(spark)
+        rank = F.struct(
+            F.col("priority").alias("p"),
+            (F.lit(0) - F.unix_timestamp("discovery_ts")).alias("ts_neg"),
+            F.col("url_canonical").alias("u"),
+        )
+        return (
+            f.groupBy("url_hash")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "url_canonical", "host", "priority", "discovery_ts", "source"
+                    ),
+                    rank,
+                ).alias("r")
+            )
+            .select("url_hash", "r.*")
+        )
+
+    def run_cycle(
+        self, spark: SparkSession, cycle_id: int, collect_stats: bool = True
+    ) -> dict:
+        """Run one crawl cycle; returns the cycle's phase counts.
+
+        The cycle is TWO materialization jobs, everything else derives
+        from their committed parquet:
+
+        1. plan  = discover→dedup→seen-filter→robots→schedule,
+           committed to the ``plan`` table (the cycle's fetch plan is
+           itself a durable, inspectable artifact);
+        2. fetched = fetch+extract+validate over the plan's scheduled
+           rows (repartitioned for full parallelism), committed with
+           the ``valid`` flag kept (invalid attempts carry lineage).
+
+        seen / next-frontier / lineage_metrics are then cheap column
+        scans of those two snapshots — nothing upstream is ever
+        recomputed (an earlier cache-based version re-ran the fused
+        applyInPandas→mapInPandas chain per commit and burned 3-4x
+        the wall time), and every commit stays idempotent (op_id), so
+        a crash between any two commits replays safely."""
+        t0 = time.time()
+        op = f"cycle-{cycle_id:05d}"
+        stats: dict[str, float | int] = {"cycle_id": cycle_id}
+        par = spark.sparkContext.defaultParallelism
+        _t = [time.time()]
+
+        def mark(name: str) -> None:
+            now = time.time()
+            stats[f"t_{name}"] = round(now - _t[0], 2)
+            _t[0] = now
+
+        # -- job 1: the cycle plan ----------------------------------------
+        seen = self._read_seen(spark)
+        cand = self.candidates(spark)
+        bloom = (
+            None
+            if self.seen.is_empty()
+            else B.build_bloom(seen, num_buckets=self.num_buckets)
+        )
+        new = B.seen_filter(cand, seen, bloom, num_buckets=self.num_buckets)
+        hosts = self.hosts.read(spark)
+        allowed = P.robots_filter(new, hosts)
+        self.plan.overwrite(
+            P.schedule(allowed, hosts, self.cycle_budget_ms),
+            op_id=f"{op}-plan",
+        )
+        mark("plan")
+        plan = self.plan.read(spark)
+        todo = plan.filter(F.col("scheduled")).repartition(par)
+
+        # -- job 2: fetch + extract + validate ----------------------------
+        articles = fetch_extract_validate(todo)
+        self.fetched.append(
+            articles.withColumn("cycle_id", F.lit(cycle_id)).select(
+                "cycle_id", "article_id", "url_canonical", "url_hash", "host",
+                "title", "content", "caption", "image_id", "word_count",
+                "content_length", "quality_score", "category", "priority",
+                "crawl_seq", "lane", "start_ms", "status", "valid",
+            ),
+            op_id=f"{op}-fetched",
+        )
+        mark("fetch")
+
+        # -- derived commits (scans of the two snapshots above) -----------
+        # every *attempted* URL becomes seen (success or not), mirroring
+        # the reference's mark-after-discovery (url_discovery_engine.py:117-123)
+        self.seen.append(
+            plan.filter(F.col("scheduled"))
+            .select("url_hash", "url_canonical")
+            .distinct(),
+            op_id=f"{op}-seen",
+        )
+        mark("seen")
+        # next frontier = deferred rows (links discovery would union here;
+        # synthetic pages are leaf pages)
+        deferred = (
+            plan.filter(~F.col("scheduled"))
+            .select(
+                "url_hash", "url_canonical", "host", "priority",
+                "discovery_ts", "source",
+            )
+            .withColumns(
+                {
+                    "url": F.col("url_canonical"),
+                    "title": F.lit(None).cast("string"),
+                }
+            )
+        )
+        self.frontier.overwrite(deferred, op_id=f"{op}-frontier")
+        mark("frontier")
+
+        # per-partition lineage over the committed fetch results
+        fetched_now = self.fetched.read(spark).filter(
+            F.col("cycle_id") == cycle_id
+        )
+        pid = F.spark_partition_id().alias("partition_id")
+        lineage_rows = (
+            fetched_now.groupBy(pid)
+            .agg(
+                F.count("*").alias("n_in"),
+                F.sum(F.col("valid").cast("int")).alias("n_out"),
+                F.sum((~F.col("valid")).cast("int")).alias("n_err"),
+            )
+            .withColumns(
+                {
+                    "cycle_id": F.lit(cycle_id),
+                    "phase": F.lit("fetch+validate"),
+                    "t_start": F.lit(t0),
+                    "t_end": F.lit(time.time()),
+                }
+            )
+        )
+        self.lineage.append(lineage_rows, op_id=f"{op}-lineage")
+        mark("lineage")
+
+        stats["n_scheduled"] = plan.filter(F.col("scheduled")).count()
+        stats["n_stored"] = int(
+            fetched_now.agg(
+                F.sum(F.col("valid").cast("int")).alias("v")
+            ).collect()[0].v
+            or 0
+        )
+        if collect_stats:
+            stats["n_candidates"] = cand.count()
+            stats["n_new"] = new.count()
+        stats["wall_sec"] = round(time.time() - t0, 3)
+        return stats
+
+    # ------------------------------------------------------------------ reads
+
+    def crawl_order(self, spark: SparkSession, cycle_id: int | None = None) -> DataFrame:
+        """Deterministic global crawl order of fetched pages:
+        (start_ms, host, lane, crawl_seq) — the comparison key for
+        byte-identical-ordering tests."""
+        df = self.fetched.read(spark).filter(F.col("valid"))
+        if cycle_id is not None:
+            df = df.filter(F.col("cycle_id") == cycle_id)
+        return df.orderBy("start_ms", "host", "lane", "crawl_seq")
+
+    def seen_set(self, spark: SparkSession) -> DataFrame:
+        return self.seen.read(spark).select("url_hash").distinct()

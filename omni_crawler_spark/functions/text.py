@@ -95,7 +95,8 @@ def sentence_stats_ok(text: Column) -> Column:
         F.split(text, r"(?<=[.!?])\s+"), lambda s: F.trim(s) != ""
     )
     n_sent = F.size(sentences)
-    avg_words = word_count(text) / n_sent
+    # try_divide: ANSI mode would throw on n_sent == 0
+    avg_words = F.try_divide(word_count(text), n_sent)
     return (n_sent >= 2) & (avg_words > 3) & (avg_words < 50)
 
 

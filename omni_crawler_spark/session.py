@@ -47,7 +47,10 @@ def get_spark(
         # deterministic session timezone so timestamp-derived results
         # are identical across runs/hosts (and match the DuckDB oracle)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode: all tasks share one heap; size it for N concurrent
+        # parquet writers + shuffle buffers (measured: 8g thrashed GC at
+        # local[32], flattening scaling)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -1,0 +1,81 @@
+"""Structured Streaming realization of the reference's polling loop
+(SURVEY §2.9 T1/T4/T5).
+
+The reference re-runs its cycle every 300 s (omni_orchestrator.py:
+209-245) and computes trailing-window metrics with SQL-over-PG.
+Streaming mapping:
+
+- source: file stream over an events directory (new parquet files =
+  new micro-batch; ``availableNow`` drains everything for tests, a
+  processingTime trigger gives the 300 s cadence in production);
+- event-time tumbling window + watermark for late data;
+- ``dropDuplicatesWithinWatermark`` = the alert cooldown /
+  dedup-within-horizon primitive (T3);
+- sink: memory (tests) or a lakehouse table (production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream → watermark → tumbling window counts per type."""
+    stream = (
+        spark.readStream.schema(schema).parquet(events_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "cnt", "total_value",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Drain all available input as micro-batches into a memory sink
+    (test harness for the streaming pipeline; the checkpoint dir gives
+    exactly-once restart semantics like the batch engine's op_ids)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dedup_within_watermark(
+    spark: SparkSession,
+    events_dir: str,
+    keys: list[str],
+    watermark: str = "2 hours",
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+) -> DataFrame:
+    """T3 cooldown primitive: drop duplicate keys arriving within the
+    watermark horizon (dropDuplicatesWithinWatermark)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

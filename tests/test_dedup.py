@@ -1,0 +1,72 @@
+"""Planted-duplicate tests for the approximate dedup family — the
+correctness evidence for the rows-only registry entries
+(dedup_minhash_lsh, dedup_simhash)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the market economy "
+    "shows strong growth and the technology sector reports record results "
+    "for the quarter with companies announcing new products and services"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"word{k}" for k in range(400)]
+    rows = []
+    for i in range(40):
+        # genuinely distinct docs: disjoint-ish random vocabulary draws
+        words = rng.sample(vocab, 60)
+        rows.append((i, " ".join(words)))
+    # planted near-dups: 100/101 differ by one word; 102 exact copy of 100
+    rows.append((100, BASE + " tail one two three four five"))
+    rows.append((101, BASE + " tail one two three four six"))
+    rows.append((102, BASE + " tail one two three four five"))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_minhash_lsh_finds_planted_pairs(corpus):
+    cand = D.minhash_lsh_candidates(corpus, "doc_id", "text", num_perm=32, bands=8)
+    verified = D.jaccard_verify(corpus, cand, "doc_id", "text", threshold=0.8)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (100, 101) in pairs
+    assert (100, 102) in pairs
+
+
+def test_minhash_dedup_keeps_min_id(corpus):
+    kept = D.minhash_dedup(corpus, "doc_id", "text", threshold=0.8,
+                           num_perm=32, bands=8)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 100 in ids and 101 not in ids and 102 not in ids
+
+
+def test_exact_dedup(corpus):
+    kept = D.exact_dedup(corpus, "text", "doc_id")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 100 in ids and 102 not in ids and 101 in ids  # 101 differs
+
+
+def test_simhash_finds_planted_pairs(corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_candidates(corpus, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert (100, 102) in pairs  # exact copy → hamming 0
+    assert (100, 101) in pairs  # one word changed → tiny hamming
+
+
+def test_simhash_deterministic(corpus):
+    a = {r.doc_id: r.sig for r in corpus.select(
+        "doc_id", D.simhash64(F.col("text")).alias("sig")).collect()}
+    b = {r.doc_id: r.sig for r in corpus.select(
+        "doc_id", D.simhash64(F.col("text")).alias("sig")).collect()}
+    assert a == b

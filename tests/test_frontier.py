@@ -1,0 +1,185 @@
+"""Frontier core tests: hash parity, bloom correctness, politeness
+scheduling, and the north-rule parity check — the distributed engine's
+crawl ordering and final seen set must be byte-identical to the
+pure-Python reference simulator on the same seed list + budget."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.frontier import bloom as B
+from omni_crawler_spark.frontier.crawl import CrawlEngine
+from omni_crawler_spark.frontier.synthetic import generate_hosts, generate_seeds
+from omni_crawler_spark.frontier.xxh64 import xxh64_str
+from omni_crawler_spark.functions import urls as U
+
+from tests import reference_sim as SIM
+
+N_SEEDS = 1200
+BUDGET_MS = 20_000
+N_CYCLES = 3
+
+
+def test_xxh64_matches_spark(spark):
+    vals = ["", "a", "hello", "https://h.example.com/x?a=1", "τ unicode ✓", "y" * 50]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in df.collect():
+        assert r.h == xxh64_str(r.s)
+
+
+def test_canonicalize_matches_python_sim(spark):
+    seeds = generate_seeds(spark, 500)
+    rows = (
+        seeds.select(
+            "url", U.canonicalize_url(F.col("url")).alias("canon")
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.canon == SIM.canonicalize(r.url), r.url
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = spark.range(0, 5000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    blm = B.build_bloom(seen, num_buckets=16)
+    # every seen key must report maybe_seen=True (no false negatives)
+    probed = B.probe_bloom(seen, blm, num_buckets=16)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # unseen keys: false-positive rate must be near fpp (1%)
+    unseen = spark.range(100000, 105000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    fp = B.probe_bloom(unseen, blm, num_buckets=16).filter(
+        F.col("maybe_seen")
+    ).count()
+    assert fp / 5000 < 0.05
+
+
+def test_seen_filter_exact_semantics(spark):
+    """bloom + exact anti-join ≡ plain left_anti — the bloom is an
+    optimization, never a semantics change."""
+    cand = spark.range(0, 3000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    seen = spark.range(1500, 4000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    blm = B.build_bloom(seen, num_buckets=8)
+    with_bloom = sorted(
+        r.url_hash
+        for r in B.seen_filter(cand, seen, blm, num_buckets=8).collect()
+    )
+    exact = sorted(
+        r.url_hash for r in cand.join(seen, "url_hash", "left_anti").collect()
+    )
+    assert with_bloom == exact
+
+
+@pytest.fixture(scope="module")
+def crawl_outputs(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    eng = CrawlEngine(wh, cycle_budget_ms=BUDGET_MS)
+    eng.bootstrap(generate_seeds(spark, N_SEEDS), generate_hosts(spark))
+    for c in range(1, N_CYCLES + 1):
+        eng.run_cycle(spark, c)
+    return spark, eng
+
+
+@pytest.fixture(scope="module")
+def sim_outputs(spark):
+    seeds = [
+        {
+            "url": r.url,
+            "priority": r.priority,
+            "discovery_ts": r.discovery_ts,
+            "source": r.source,
+        }
+        for r in generate_seeds(spark, N_SEEDS).collect()
+    ]
+    hosts = {
+        r.host: {
+            "crawl_delay_ms": r.crawl_delay_ms,
+            "max_parallel": r.max_parallel,
+            "robots_disallow": list(r.robots_disallow),
+        }
+        for r in generate_hosts(spark).collect()
+    }
+    return SIM.simulate(seeds, hosts, BUDGET_MS, N_CYCLES)
+
+
+def test_crawl_order_byte_identical_to_reference(crawl_outputs, sim_outputs):
+    spark, eng = crawl_outputs
+    engine_order = [
+        (r.cycle_id, r.start_ms, r.host, r.lane, r.crawl_seq, r.url_canonical)
+        for r in eng.fetched.read(spark)
+        .filter(F.col("valid"))
+        .orderBy("cycle_id", "start_ms", "host", "lane", "crawl_seq")
+        .collect()
+    ]
+    assert engine_order == sim_outputs.order
+
+
+def test_seen_set_identical_to_reference(crawl_outputs, sim_outputs):
+    spark, eng = crawl_outputs
+    engine_seen = {
+        r.url_canonical for r in eng.seen.read(spark).collect()
+    }
+    assert engine_seen == sim_outputs.seen
+
+
+def test_lineage_partition_counts(crawl_outputs):
+    spark, eng = crawl_outputs
+    lin = eng.lineage.read(spark)
+    agg = lin.agg(
+        F.sum("n_in").alias("n_in"), F.sum("n_out").alias("n_out")
+    ).collect()[0]
+    stored = eng.fetched.read(spark).filter(F.col("valid")).count()
+    assert agg.n_out == stored
+    assert agg.n_in >= agg.n_out
+
+
+def test_resume_idempotent_cycle(spark, tmp_path):
+    """Re-running a committed cycle must be a no-op (crash-replay
+    safety): same snapshot versions, same row counts."""
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(wh, cycle_budget_ms=BUDGET_MS)
+    eng.bootstrap(generate_seeds(spark, 400), generate_hosts(spark))
+    eng.run_cycle(spark, 1)
+    v_fetched = eng.fetched.current_version()
+    n_fetched = eng.fetched.read(spark).count()
+    n_seen = eng.seen.read(spark).count()
+    # simulate crash-after-commit + replay of the same cycle
+    eng2 = CrawlEngine(wh, cycle_budget_ms=BUDGET_MS)
+    eng2.run_cycle(spark, 1)
+    assert eng2.fetched.current_version() == v_fetched
+    assert eng2.fetched.read(spark).count() == n_fetched
+    assert eng2.seen.read(spark).count() == n_seen
+
+
+def test_resume_continues_from_snapshot(spark, tmp_path):
+    """Cycles 1..2 run in one engine, cycle 3 in a fresh engine over
+    the same warehouse → identical final state to an uninterrupted
+    3-cycle run."""
+    wh_a, wh_b = str(tmp_path / "a"), str(tmp_path / "b")
+    seeds, hosts = generate_seeds(spark, 400), generate_hosts(spark)
+    ea = CrawlEngine(wh_a, cycle_budget_ms=5_000)
+    ea.bootstrap(seeds, hosts)
+    for c in (1, 2, 3):
+        ea.run_cycle(spark, c)
+    eb = CrawlEngine(wh_b, cycle_budget_ms=5_000)
+    eb.bootstrap(seeds, hosts)
+    for c in (1, 2):
+        eb.run_cycle(spark, c)
+    eb2 = CrawlEngine(wh_b, cycle_budget_ms=5_000)  # "restart"
+    eb2.run_cycle(spark, 3)
+    a = sorted(r.url_canonical for r in ea.fetched.read(spark).collect())
+    b = sorted(r.url_canonical for r in eb2.fetched.read(spark).collect())
+    assert a == b
+    sa = {r.url_canonical for r in ea.seen.read(spark).collect()}
+    sb = {r.url_canonical for r in eb2.seen.read(spark).collect()}
+    assert sa == sb

@@ -24,6 +24,10 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
+        if isinstance(v, (list, tuple)) or (
+            hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+        ):  # array cell (Spark list vs numpy array)
+            return "[" + ",".join(cell(x) for x in v) + "]"
         if pd.api.types.is_scalar(v) and pd.isna(v):
             return "NULL"
         if isinstance(v, float):

@@ -1,0 +1,73 @@
+"""Run one frontier drain at a given parallelism; print one JSON line.
+
+Used by tools/bench_scaling.py to evidence the north rule's two-
+cluster-size scaling criterion: the same job at local[N] and local[4N]
+on identical input (sandbox stand-in for N vs 4N executors).
+
+Throughput metric = URLs fetched+validated per second across the
+drain cycles (matches BASELINE.json's north-star metric definition).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--urls", type=int, default=50_000)
+    ap.add_argument("--cycles", type=int, default=1)
+    args = ap.parse_args()
+
+    from omni_crawler_spark.frontier.crawl import CrawlEngine
+    from omni_crawler_spark.frontier.synthetic import (
+        generate_hosts,
+        generate_seeds,
+    )
+    from omni_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        f"drain-{args.cpus}", cpus=args.cpus, shuffle_partitions=args.cpus
+    )
+    wh = tempfile.mkdtemp(prefix=f"drain{args.cpus}-")
+    try:
+        eng = CrawlEngine(wh, cycle_budget_ms=10**9)  # drain fully
+        seeds = generate_seeds(spark, args.urls, partitions=args.cpus)
+        hosts = generate_hosts(spark)
+        eng.bootstrap(seeds, hosts)
+        t0 = time.time()
+        attempted = validated = 0
+        for c in range(1, args.cycles + 1):
+            stats = eng.run_cycle(spark, c, collect_stats=False)
+            print(json.dumps(stats), file=sys.stderr)
+            attempted += stats["n_scheduled"]
+            validated += stats["n_stored"]
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cpus": args.cpus,
+                    "urls": args.urls,
+                    "attempted": attempted,
+                    "validated": validated,
+                    "wall_sec": round(wall, 3),
+                    "urls_per_sec": round(attempted / wall, 2),
+                    "validated_per_sec": round(validated / wall, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
