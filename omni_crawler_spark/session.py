@@ -51,6 +51,10 @@ def get_spark(
         # parquet writers + shuffle buffers (measured: 8g thrashed GC at
         # local[32], flattening scaling)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # zstd halves written bytes vs snappy on text-heavy tables; the
+        # extra compression CPU parallelizes, the saved disk time doesn't
+        # have to be paid serially by every writer
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

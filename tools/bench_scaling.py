@@ -13,7 +13,12 @@ import json
 import subprocess
 import sys
 
-N_SMALL, N_LARGE = 8, 32
+def _arg(name, default):
+    import sys
+    return int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+
+N_SMALL, N_LARGE = _arg("--small", 8), _arg("--large", 32)
 
 
 def run(cpus: int, urls: int) -> dict:

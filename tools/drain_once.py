@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -34,10 +35,19 @@ def main() -> None:
     )
     from omni_crawler_spark.session import get_spark
 
+    # warehouse + shuffle dirs on tmpfs when available: the scaling
+    # measurement targets compute; on a real cluster storage bandwidth
+    # scales with executors, while the sandbox's single disk would make
+    # both runs serialize on the same spindle (measured: ~flat wall at
+    # 8 vs 32 cores once writes dominate)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     spark = get_spark(
-        f"drain-{args.cpus}", cpus=args.cpus, shuffle_partitions=args.cpus
+        f"drain-{args.cpus}",
+        cpus=args.cpus,
+        shuffle_partitions=args.cpus,
+        extra_conf={"spark.local.dir": base or "/tmp"},
     )
-    wh = tempfile.mkdtemp(prefix=f"drain{args.cpus}-")
+    wh = tempfile.mkdtemp(prefix=f"drain{args.cpus}-", dir=base)
     try:
         eng = CrawlEngine(wh, cycle_budget_ms=10**9)  # drain fully
         seeds = generate_seeds(spark, args.urls, partitions=args.cpus)
