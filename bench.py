@@ -1,17 +1,19 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line with per-query wall seconds.
+ONE JSON line with per-query wall seconds plus the frontier-drain
+throughput (the BASELINE.json north-star metric).
 
-Each query is materialized with a count-collect (``df.count()`` after
-the full plan, or ``collect()`` for small results) so the measured
-time covers scan → shuffle → agg, not lazy plan construction.
+Each query is materialized with collect() so the measured time covers
+scan → shuffle → agg, not lazy plan construction.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -20,6 +22,7 @@ from omni_crawler_spark.analytics import REGISTRY  # noqa: E402
 from omni_crawler_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # scan/agg/join analytics (SURVEY §2.4-2.5)
     "tpch_q1_pricing",
     "agg_domain_topn",
     "agg_pivot_daily_type",
@@ -27,10 +30,49 @@ HEADLINE = [
     "agg_daily_counts",
     "join_fact_dim",
     "join_lineitem_part",
+    "join_range_bucket",
     "window_per_group_topk",
+    "window_moving_avg",
     "window_recent_100",
+    # training-data pipeline operators
     "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "enrich_doc_profile",
+    "multimodal_decode_validate",
 ]
+
+DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))
+
+
+def frontier_drain_throughput(spark) -> dict:
+    """One full drain cycle; returns URLs/s (north-star metric)."""
+    from omni_crawler_spark.frontier.crawl import CrawlEngine
+    from omni_crawler_spark.frontier.synthetic import (
+        generate_hosts,
+        generate_seeds,
+    )
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix="bench-drain-", dir=base)
+    try:
+        eng = CrawlEngine(wh, cycle_budget_ms=10**9)
+        eng.bootstrap(
+            generate_seeds(spark, DRAIN_URLS, partitions=32), generate_hosts(spark)
+        )
+        t0 = time.time()
+        stats = eng.run_cycle(spark, 1, collect_stats=False)
+        wall = time.time() - t0
+        return {
+            "wall_sec": round(wall, 3),
+            "attempted": stats["n_scheduled"],
+            "validated": stats["n_stored"],
+            "urls_per_sec": round(stats["n_scheduled"] / wall, 2),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 def main() -> None:
@@ -55,6 +97,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         del rows
 
+    drain = frontier_drain_throughput(spark)
+    timings["crawl_frontier_drain"] = drain["wall_sec"]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -64,6 +109,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "frontier_drain": drain,
             }
         )
     )

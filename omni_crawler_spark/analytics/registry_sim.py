@@ -25,7 +25,7 @@ _SHINGLES_SQL = (
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS (
-      SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+      SELECT doc_id, lang, n_chars AS len_bucket,
              {_SHINGLES_SQL} AS sh FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -39,7 +39,7 @@ _SHINGLES_SQL = (
     ORDER BY id_a, id_b
     """,
     doc="n-gram Jaccard near-dup — exact 5-gram shingle Jaccard over "
-    "(lang, length-bucket) blocked pairs; the exact-verify stage of the "
+    "(lang, exact-length) blocked pairs; the exact-verify stage of the "
     "MinHash pipeline (operators/dedup.py::jaccard_verify)",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -47,7 +47,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sh = d.select(
         "doc_id",
         "lang",
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        F.col("n_chars").cast("long").alias("len_bucket"),
         D.char_shingles(F.col("text"), 5).alias("sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
