@@ -10,6 +10,7 @@ from omni_crawler_spark.analytics import registry_crawl as _crawl  # noqa: F401
 from omni_crawler_spark.analytics import registry_enrich as _enrich  # noqa: F401
 from omni_crawler_spark.analytics import registry_extra as _extra  # noqa: F401
 from omni_crawler_spark.analytics import registry_multimodal as _mm  # noqa: F401
+from omni_crawler_spark.analytics import registry_phrases as _ph  # noqa: F401
 from omni_crawler_spark.analytics import registry_sim as _sim  # noqa: F401
 from omni_crawler_spark.analytics import registry_sources as _src  # noqa: F401
 from omni_crawler_spark.analytics import registry_streaming as _stream  # noqa: F401

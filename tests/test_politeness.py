@@ -1,0 +1,123 @@
+"""Politeness scheduler semantics (north rule: per-host crawl-delay
+budgets, max_parallel lanes, robots, cycle-budget deferral)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.frontier import politeness as P
+
+
+@pytest.fixture(scope="module")
+def hosts(spark):
+    return spark.createDataFrame(
+        [
+            ("slow.example.com", 1000, 1, ["/private"]),
+            ("fast.example.com", 100, 4, []),
+            ("zero.example.com", 0, 2, ["/a", "/b"]),
+        ],
+        "host string, crawl_delay_ms int, max_parallel int, "
+        "robots_disallow array<string>",
+    )
+
+
+def _frontier(spark, rows):
+    base = datetime(2025, 1, 1)
+    return spark.createDataFrame(
+        [
+            (
+                f"https://{h}{p}",
+                h,
+                prio,
+                base + timedelta(seconds=i),
+                hash(f"{h}{p}") & 0x7FFFFFFF,
+            )
+            for i, (h, p, prio) in enumerate(rows)
+        ],
+        "url_canonical string, host string, priority int, "
+        "discovery_ts timestamp, url_hash long",
+    )
+
+
+def test_robots_drops_disallowed(spark, hosts):
+    f = _frontier(
+        spark,
+        [
+            ("slow.example.com", "/private/x", 10),
+            ("slow.example.com", "/public/x", 10),
+            ("zero.example.com", "/a/page", 5),
+            ("zero.example.com", "/c/page", 5),
+            ("unknown.example.com", "/anything", 5),  # no config → allowed
+        ],
+    )
+    kept = {r.url_canonical for r in P.robots_filter(f, hosts).collect()}
+    assert kept == {
+        "https://slow.example.com/public/x",
+        "https://zero.example.com/c/page",
+        "https://unknown.example.com/anything",
+    }
+
+
+def test_lane_spacing_respects_crawl_delay(spark, hosts):
+    f = _frontier(
+        spark,
+        [("slow.example.com", f"/p/{i}", 10) for i in range(6)],
+    )
+    sched = P.schedule(f, hosts, cycle_budget_ms=10**9).collect()
+    # max_parallel=1 → a single lane; starts spaced exactly 1000ms
+    assert {r.lane for r in sched} == {0}
+    starts = sorted(r.start_ms for r in sched)
+    assert starts == [0, 1000, 2000, 3000, 4000, 5000]
+
+
+def test_lanes_split_and_each_spaces(spark, hosts):
+    f = _frontier(
+        spark,
+        [("fast.example.com", f"/p/{i}", 10) for i in range(40)],
+    )
+    sched = P.schedule(f, hosts, cycle_budget_ms=10**9).collect()
+    lanes = {r.lane for r in sched}
+    assert lanes <= {0, 1, 2, 3} and len(lanes) >= 2
+    by_lane: dict[int, list[int]] = {}
+    for r in sched:
+        by_lane.setdefault(r.lane, []).append(r.start_ms)
+    for lane_starts in by_lane.values():
+        lane_starts.sort()
+        assert lane_starts == [i * 100 for i in range(len(lane_starts))]
+
+
+def test_priority_order_within_lane(spark, hosts):
+    rows = [("slow.example.com", f"/lo/{i}", 5) for i in range(3)] + [
+        ("slow.example.com", f"/hi/{i}", 10) for i in range(3)
+    ]
+    f = _frontier(spark, rows)
+    sched = sorted(
+        P.schedule(f, hosts, cycle_budget_ms=10**9).collect(),
+        key=lambda r: r.crawl_seq,
+    )
+    prios = [r.priority for r in sched]
+    assert prios == sorted(prios, reverse=True)  # all 10s before all 5s
+
+
+def test_cycle_budget_defers(spark, hosts):
+    f = _frontier(
+        spark,
+        [("slow.example.com", f"/p/{i}", 10) for i in range(10)],
+    )
+    sched = P.schedule(f, hosts, cycle_budget_ms=3000)
+    done = sched.filter(F.col("scheduled")).count()
+    deferred = sched.filter(~F.col("scheduled")).count()
+    assert done == 3  # starts 0,1000,2000 < 3000
+    assert deferred == 7
+
+
+def test_zero_delay_host_all_immediate(spark, hosts):
+    f = _frontier(
+        spark, [("zero.example.com", f"/c/{i}", 5) for i in range(8)]
+    )
+    sched = P.schedule(f, hosts, cycle_budget_ms=10**9).collect()
+    # delay 0 → max(delay,1)=1ms spacing, everything scheduled instantly
+    assert max(r.start_ms for r in sched) <= 8
