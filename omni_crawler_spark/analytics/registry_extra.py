@@ -171,9 +171,9 @@ def join_asof_last_error(spark, sf_dir):
            CASE WHEN len(text) <= 120 THEN text
                 ELSE regexp_replace(substr(text, 1, 120), '\\s+\\S*$', '')
                      || '...' END AS excerpt,
-           list_sort(list_distinct(
+           array_to_string(list_sort(list_distinct(
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
-                         w -> w <> '')))[1:10] AS top_tokens
+                         w -> w <> '')))[1:10], ';') AS top_tokens
     FROM documents ORDER BY doc_id
     """,
     doc="F11/F12 — word-safe excerpt truncation "
@@ -187,7 +187,10 @@ def scalar_excerpt(spark, sf_dir):
     return d.select(
         "doc_id",
         T.excerpt(F.col("text"), 120).alias("excerpt"),
-        F.slice(
-            F.array_sort(F.array_distinct(T.words(F.col("text")))), 1, 10
+        F.array_join(
+            F.slice(
+                F.array_sort(F.array_distinct(T.words(F.col("text")))), 1, 10
+            ),
+            ";",
         ).alias("top_tokens"),
     ).orderBy("doc_id")

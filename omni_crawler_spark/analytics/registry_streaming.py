@@ -288,7 +288,7 @@ def validator_score(spark, sf_dir):
     "enrich_entities_regex",
     """
     SELECT doc_id,
-           regexp_extract_all(byline, '([A-Z][a-z]+ [A-Z][a-z]+)', 1) AS persons,
+           array_to_string(regexp_extract_all(byline, '([A-Z][a-z]+ [A-Z][a-z]+)', 1), ';') AS persons,
            len(regexp_extract_all(byline, '([A-Z][a-z]+ [A-Z][a-z]+)', 1))
              AS n_persons
     FROM (
@@ -321,5 +321,7 @@ def enrich_entities_regex(spark, sf_dir):
         byline, F.lit("([A-Z][a-z]+ [A-Z][a-z]+)"), F.lit(1)
     )
     return d.select(
-        "doc_id", persons.alias("persons"), F.size(persons).alias("n_persons")
+        "doc_id",
+        F.array_join(persons, ";").alias("persons"),
+        F.size(persons).alias("n_persons"),
     ).orderBy("doc_id")
