@@ -173,3 +173,20 @@ def sim_ann_lsh(spark, sf_dir):
     return S.ann_lsh_topk(e, query_ids=[0, 1, 2, 3, 4], k=5, n_planes=4).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "sim_ivf_topk",
+    None,
+    doc="IVF approximate top-k (k-means cells + nprobe probing) — the "
+    "second ANN scale path beside LSH; recall vs exact asserted in "
+    "tests/test_ivf.py; operators/ivf.py",
+)
+def sim_ivf_topk(spark, sf_dir):
+    from omni_crawler_spark.operators import ivf as I
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = I.train_centroids(e, n_cells=16, dim=64)
+    return I.ivf_topk(e, [0, 1, 2, 3, 4], cent, k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
