@@ -80,6 +80,71 @@ def _positions(keys: np.ndarray, m: int, k: int) -> np.ndarray:
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
+def fixed_params(capacity_per_bucket: int, fpp: float = DEFAULT_FPP) -> tuple[int, int]:
+    """Fixed (m, k) geometry sized for a capacity — every bucket and
+    every cycle shares it, which is what makes blobs OR-mergeable."""
+    return _params(capacity_per_bucket, fpp)
+
+
+def merge_bloom(
+    prev: DataFrame | None,
+    new_keys: DataFrame,
+    hash_col: str = "url_hash",
+    num_buckets: int = DEFAULT_BUCKETS,
+    capacity_per_bucket: int = 1 << 17,
+    fpp: float = DEFAULT_FPP,
+) -> DataFrame:
+    """Incremental bloom maintenance: OR this cycle's new keys into
+    the persisted per-bucket blobs instead of rescanning the whole
+    seen table (at 10^10 rows a full rebuild per cycle IS the
+    bottleneck). Fixed geometry ⇒ bitmaps merge with a byte-OR;
+    ``n_keys`` accumulates so capacity overrun (fpp degradation — a
+    performance concern, never a correctness one: positives are
+    always exact-checked) is observable.
+
+    Crash-safe by construction: the merge is a pure function of
+    (prev blobs, cycle's new keys), so replaying a cycle produces an
+    identical table.
+    """
+    m, k = fixed_params(capacity_per_bucket, fpp)
+
+    def build_fixed(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[hash_col].to_numpy()
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        pos = _positions(keys, m, k).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            [{"bucket": int(pdf["bucket"].iloc[0]), "n_keys": len(keys),
+              "m_bits": m, "k_hashes": k, "bitmap": bits.tobytes()}]
+        )
+
+    fresh = (
+        new_keys.withColumn("bucket", bucket_of(F.col(hash_col), num_buckets))
+        .groupBy("bucket")
+        .applyInPandas(build_fixed, BLOOM_SCHEMA)
+    )
+    if prev is None:
+        return fresh
+
+    def or_blobs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        n = 0
+        for r in pdf.itertuples(index=False):
+            b = np.frombuffer(r.bitmap, dtype=np.uint8)
+            acc = b.copy() if acc is None else (acc | b)
+            n += int(r.n_keys)
+        return pd.DataFrame(
+            [{"bucket": int(key[0]), "n_keys": n, "m_bits": m,
+              "k_hashes": k, "bitmap": acc.tobytes()}]
+        )
+
+    return (
+        prev.unionByName(fresh)
+        .groupBy("bucket")
+        .applyInPandas(or_blobs, BLOOM_SCHEMA)
+    )
+
+
 def build_bloom(
     seen: DataFrame,
     hash_col: str = "url_hash",

@@ -54,6 +54,7 @@ class CrawlEngine:
         self.fetched = SnapshotTable(os.path.join(warehouse, "fetched"), "fetched")
         self.hosts = SnapshotTable(os.path.join(warehouse, "hosts"), "hosts")
         self.plan = SnapshotTable(os.path.join(warehouse, "plan"), "plan")
+        self.bloom = SnapshotTable(os.path.join(warehouse, "bloom"), "bloom")
         self.lineage = SnapshotTable(os.path.join(warehouse, "lineage"), "lineage")
 
     # ------------------------------------------------------------------ setup
@@ -138,11 +139,9 @@ class CrawlEngine:
         # -- job 1: the cycle plan ----------------------------------------
         seen = self._read_seen(spark)
         cand = self.candidates(spark)
-        bloom = (
-            None
-            if self.seen.is_empty()
-            else B.build_bloom(seen, num_buckets=self.num_buckets)
-        )
+        # persisted incremental bloom: read blobs, never rescan `seen`
+        # (at 10^10 rows the per-cycle full rebuild IS the bottleneck)
+        bloom = None if self.bloom.is_empty() else self.bloom.read(spark)
         new = B.seen_filter(cand, seen, bloom, num_buckets=self.num_buckets)
         hosts = self.hosts.read(spark)
         allowed = P.robots_filter(new, hosts)
@@ -177,6 +176,16 @@ class CrawlEngine:
             op_id=f"{op}-seen",
         )
         mark("seen")
+        # fold this cycle's attempted keys into the persisted bloom
+        self.bloom.overwrite(
+            B.merge_bloom(
+                bloom,
+                plan.filter(F.col("scheduled")).select("url_hash").distinct(),
+                num_buckets=self.num_buckets,
+            ),
+            op_id=f"{op}-bloom",
+        )
+        mark("bloom")
         # next frontier = deferred rows (links discovery would union here;
         # synthetic pages are leaf pages)
         deferred = (

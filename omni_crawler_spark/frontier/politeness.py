@@ -39,12 +39,35 @@ from pyspark.sql.types import (
 )
 
 
+def parse_robots_txt(robots_txt: "F.Column") -> "F.Column":
+    """robots.txt text → array of Disallow path prefixes (the subset
+    of the spec the scheduler enforces; reference has only the config
+    flag config/master_config.yaml:10 — this is new code per the
+    north rule). Pure column expression: one regexp_extract_all over
+    the raw file text, empty-prefix rules (allow-all) dropped."""
+    rules = F.regexp_extract_all(
+        robots_txt, F.lit(r"(?im)^\s*Disallow:\s*(\S+)\s*$"), F.lit(1)
+    )
+    return F.filter(rules, lambda p: (p != "") & (p != "/$"))
+
+
+def hosts_with_parsed_robots(hosts: DataFrame) -> DataFrame:
+    """If the hosts table carries raw ``robots_txt`` instead of a
+    pre-parsed ``robots_disallow`` array, derive the array."""
+    if "robots_disallow" in hosts.columns:
+        return hosts
+    return hosts.withColumn(
+        "robots_disallow", parse_robots_txt(F.col("robots_txt"))
+    )
+
+
 def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     """Drop URLs matching a disallow prefix of their host. Hosts is a
     small dim → broadcast join, no shuffle on the frontier side."""
     path = F.regexp_replace(
         F.col("url_canonical"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
     )
+    hosts = hosts_with_parsed_robots(hosts)
     joined = frontier.join(
         F.broadcast(hosts.select("host", "robots_disallow")), "host", "left"
     )

@@ -196,7 +196,8 @@ def jaccard_verify(
     Joins are semi-bounded by the candidate count, never n²."""
     sh = df.select(
         F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+    ).persist()  # read by both sides of the candidate join; shingle
+    # extraction is an interpreted HOF — never evaluate it twice
     j = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")

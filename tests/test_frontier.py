@@ -183,3 +183,24 @@ def test_resume_continues_from_snapshot(spark, tmp_path):
     sa = {r.url_canonical for r in ea.seen.read(spark).collect()}
     sb = {r.url_canonical for r in eb2.seen.read(spark).collect()}
     assert sa == sb
+
+
+def test_incremental_bloom_covers_all_seen(spark, tmp_path):
+    """After multiple cycles the persisted bloom must report
+    maybe_seen for EVERY seen key (no false negatives across merges) —
+    the correctness contract of the incremental maintenance."""
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(wh, cycle_budget_ms=4_000)
+    eng.bootstrap(generate_seeds(spark, 600), generate_hosts(spark))
+    for c in (1, 2, 3):
+        eng.run_cycle(spark, c)
+    seen = eng.seen.read(spark).select("url_hash")
+    blm = eng.bloom.read(spark)
+    probed = B.probe_bloom(seen, blm)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # and unseen keys still mostly clear (fpp sane after merges)
+    unseen = spark.range(10_000_000, 10_003_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    fp = B.probe_bloom(unseen, blm).filter(F.col("maybe_seen")).count()
+    assert fp / 3000 < 0.05

@@ -121,3 +121,36 @@ def test_zero_delay_host_all_immediate(spark, hosts):
     sched = P.schedule(f, hosts, cycle_budget_ms=10**9).collect()
     # delay 0 → max(delay,1)=1ms spacing, everything scheduled instantly
     assert max(r.start_ms for r in sched) <= 8
+
+
+def test_parse_robots_txt(spark):
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "disallow: /tmp/cache\n"
+        "Allow: /public\n"
+        "Disallow:\n"
+        "# Disallow: /commented\n"
+        "Crawl-delay: 5\n"
+        "Disallow: /search \n"
+    )
+    df = spark.createDataFrame([(txt,)], "robots_txt string").select(
+        P.parse_robots_txt(F.col("robots_txt")).alias("rules")
+    )
+    assert df.collect()[0].rules == ["/private", "/tmp/cache", "/search"]
+
+
+def test_robots_filter_from_raw_txt(spark):
+    hosts_txt = spark.createDataFrame(
+        [("slow.example.com", "User-agent: *\nDisallow: /private\n")],
+        "host string, robots_txt string",
+    )
+    f = _frontier(
+        spark,
+        [
+            ("slow.example.com", "/private/x", 10),
+            ("slow.example.com", "/ok/x", 10),
+        ],
+    )
+    kept = {r.url_canonical for r in P.robots_filter(f, hosts_txt).collect()}
+    assert kept == {"https://slow.example.com/ok/x"}
