@@ -158,7 +158,7 @@ class CrawlEngine:
         self.fetched.append(
             articles.withColumn("cycle_id", F.lit(cycle_id)).select(
                 "cycle_id", "article_id", "url_canonical", "url_hash", "host",
-                "title", "content", "caption", "image_id", "word_count",
+                "title", "content", "caption", "image_id", "links", "word_count",
                 "content_length", "quality_score", "category", "priority",
                 "crawl_seq", "lane", "start_ms", "status", "valid",
             ),
@@ -175,6 +175,9 @@ class CrawlEngine:
             .distinct(),
             op_id=f"{op}-seen",
         )
+        fetched_now = self.fetched.read(spark).filter(
+            F.col("cycle_id") == cycle_id
+        )
         mark("seen")
         # fold this cycle's attempted keys into the persisted bloom
         self.bloom.overwrite(
@@ -186,8 +189,8 @@ class CrawlEngine:
             op_id=f"{op}-bloom",
         )
         mark("bloom")
-        # next frontier = deferred rows (links discovery would union here;
-        # synthetic pages are leaf pages)
+        # next frontier = deferred rows ∪ links discovered this cycle
+        # (dedup + seen-filter happen at the head of the next cycle)
         deferred = (
             plan.filter(~F.col("scheduled"))
             .select(
@@ -201,13 +204,35 @@ class CrawlEngine:
                 }
             )
         )
-        self.frontier.overwrite(deferred, op_id=f"{op}-frontier")
+        # discovered links: deterministic discovery_ts (pure function of
+        # cycle) so scheduling order is reproducible; tie-break is the url
+        discovered = (
+            fetched_now.select(F.explode("links").alias("url"))
+            .withColumn("url_canonical", U.canonicalize_url(F.col("url")))
+            .withColumns(
+                {
+                    "url_hash": U.url_hash64(F.col("url_canonical")),
+                    "host": U.url_host(F.col("url_canonical")),
+                    "priority": F.lit(3),
+                    "source": F.lit("link"),
+                    "discovery_ts": F.to_timestamp(
+                        F.lit("2025-06-01 00:00:00")
+                    ) + F.make_interval(days=F.lit(cycle_id)),
+                    "title": F.lit(None).cast("string"),
+                }
+            )
+            .select(
+                "url_hash", "url_canonical", "host", "priority",
+                "discovery_ts", "source", "url", "title",
+            )
+        )
+        self.frontier.overwrite(
+            deferred.unionByName(discovered), op_id=f"{op}-frontier"
+        )
         mark("frontier")
 
         # per-partition lineage over the committed fetch results
-        fetched_now = self.fetched.read(spark).filter(
-            F.col("cycle_id") == cycle_id
-        )
+        # (fetched_now was read above for link discovery)
         pid = F.spark_partition_id().alias("partition_id")
         lineage_rows = (
             fetched_now.groupBy(pid)

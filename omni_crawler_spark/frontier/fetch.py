@@ -37,6 +37,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     IntegerType,
     StringType,
@@ -54,6 +55,7 @@ _RE_WS = re.compile(r"\s+")
 _RE_TITLE = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
 _RE_META_DESC = re.compile(r'(?i)<meta name="description" content="([^"]*)"')
 _RE_IMG = re.compile(r'(?i)<img src="/([^"]+)\.png"')
+_RE_LINK = re.compile(r'(?i)<a href="(/[^"]*)"')
 _RE_WORDS = re.compile(r"[^a-z0-9']+")
 _RE_SENTS = re.compile(r"(?<=[.!?])\s+")
 _ENTITIES = [
@@ -102,6 +104,8 @@ def process_page(
     m = _RE_META_DESC.search(html)
     mi = _RE_IMG.search(html)
     image_id = mi.group(1) if mi else None
+    # S-discovery: outgoing same-host links (relative hrefs -> absolute)
+    links = [f"https://{host}{p}" for p in _RE_LINK.findall(html)]
     words = [w for w in _RE_WORDS.split(lower) if w]
     n_words = len(words)
     n_chars = len(content)
@@ -144,6 +148,7 @@ def process_page(
             break
     return {
         "status": status,
+        "links": links,
         "title": title,
         "content": content,
         "caption": m.group(1) if m else "",
@@ -159,6 +164,7 @@ def process_page(
 
 ARTICLE_FIELDS = [
     StructField("status", IntegerType()),
+    StructField("links", ArrayType(StringType())),
     StructField("title", StringType()),
     StructField("content", StringType()),
     StructField("caption", StringType()),

@@ -139,11 +139,21 @@ def synth_page_html(url_hash: int, article_no: int) -> tuple[int, str]:
     body = " ".join(sents)
     caption = f"A photo of the {PAGE_WORDS[int(rng.integers(0, 19))]} scene."
     image_id = f"img_{int(rng.integers(0, 10**8)):08d}"
+    # ~25% of pages link onward (same host, relative hrefs) — the
+    # discovery source that grows the frontier across cycles
+    links = ""
+    if rng.integers(0, 100) < 25:
+        n_links = int(rng.integers(1, 3))
+        for _ in range(n_links):
+            links += (
+                f'<a href="/sec{int(rng.integers(0, 7))}'
+                f'/article-{int(rng.integers(0, 10**6))}">more</a>'
+            )
     html = (
         f"<html><head><title> {title} </title>"
         f'<meta name="description" content="{caption}">'
         f"</head><body><script>var x=1;</script>"
         f'<article><p>{body}</p></article>'
-        f'<img src="/{image_id}.png"></body></html>'
+        f'<img src="/{image_id}.png">{links}</body></html>'
     )
     return 200, html

@@ -168,13 +168,30 @@ def simulate(
                 r["crawl_seq"] = idx + 1
                 r["start_ms"] = idx * max(r["delay"], 1)
                 (scheduled if r["start_ms"] < cycle_budget_ms else deferred).append(r)
-        # fetch + validate
+        # fetch + validate + link discovery
+        from datetime import datetime, timedelta
+
+        link_ts = datetime(2025, 6, 1) + timedelta(days=cycle)
+        discovered = []
         for r in scheduled:
             seen_hashes.add(r["hash"])
             res.seen.add(r["canonical"])
             status, html = synth_page_html(r["hash"], r["crawl_seq"])
             if status != 200:
                 continue
+            for p in re.findall(r'(?i)<a href="(/[^"]*)"', html):
+                url = f"https://{r['host']}{p}"
+                canonical = canonicalize(url)
+                discovered.append(
+                    {
+                        "url": url,
+                        "canonical": canonical,
+                        "hash": xxh64_str(canonical),
+                        "priority": 3,
+                        "source": "link",
+                        "discovery_ts": link_ts,
+                    }
+                )
             ok, title, content = validate(html, r["host"])
             if ok:
                 res.order.append(
@@ -182,6 +199,6 @@ def simulate(
                      r["crawl_seq"], r["canonical"])
                 )
                 res.stored.append(r["canonical"])
-        frontier = deferred
+        frontier = deferred + discovered
     res.order.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4]))
     return res
