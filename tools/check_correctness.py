@@ -101,7 +101,8 @@ def main() -> int:
         else:
             print(f"ok   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")
+    n_run = len([n for n in REGISTRY if not only or n in only])
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     return 1 if failures else 0
 
 
