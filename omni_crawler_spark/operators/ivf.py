@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from omni_crawler_spark.operators.similarity import cosine
+from omni_crawler_spark.operators.similarity import cosine_pair_udf
 
 
 def train_centroids(
@@ -32,11 +32,25 @@ def train_centroids(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic k-means (fixed seed/iters) on a bounded sample.
     The sample is tiny relative to the corpus — training cost is O(1)
-    in corpus size; only assignment is distributed."""
-    rows = embeddings.select(vec_col).limit(sample).collect()
+    in corpus size; only assignment is distributed.
+
+    Sampling: the ``sample`` rows with the smallest ``xxhash64(id)`` —
+    a deterministic hash-shuffled draw executed as a distributed
+    TakeOrderedAndProject (per-partition top-k, then merge). A plain
+    ``limit(sample)`` would read a partition PREFIX — on a partitioned
+    100 TB table that is a biased sample (whatever was ingested first)
+    and degrades cell balance."""
+    rows = (
+        embeddings.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     x = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -106,7 +120,9 @@ def ivf_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne"))
         .join(F.broadcast(q), "query_id")
     )
-    scored = cand.withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 4))
+    scored = cand.withColumn(
+        "sim", F.round(cosine_pair_udf()(F.col("qe"), F.col("ne")), 4)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))

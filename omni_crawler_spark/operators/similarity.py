@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -31,7 +31,33 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """HOF-fold cosine — bit-identical to the DuckDB oracle's
+    sequential ``list_dot_product``, so it stays on the oracle-paired
+    exact queries (sim_topk_cosine, dedup_embedding_cosine). Spark
+    interprets HOF lambdas (no codegen) — use ``cosine_pair_udf`` on
+    every scale/hot path instead."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_pair_udf():
+    """Vectorized cosine over an (a, b) vector-pair column: Arrow
+    batch → two stacked float64 matrices → one rowwise einsum. Returns
+    the RAW double; callers apply ``F.round`` JVM-side so rounding
+    semantics match the HOF/oracle version."""
+
+    @pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        ma = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt(np.einsum("ij,ij->i", ma, ma)) * np.sqrt(
+            np.einsum("ij,ij->i", mb, mb)
+        )
+        return pd.Series(num / den)
+
+    return cos
 
 
 def cosine_topk(
@@ -114,7 +140,9 @@ def ann_lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 4))
+        .withColumn(
+            "sim", F.round(cosine_pair_udf()(F.col("qe"), F.col("ne")), 4)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -124,36 +152,95 @@ def ann_lsh_topk(
     )
 
 
+def lsh_table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """One bucket id per hash table (banding for hyperplane LSH): table
+    ``t`` projects onto its own ``n_planes`` hyperplanes (seed+t). A
+    pair is a candidate if it collides in ANY table — recall for pairs
+    at cosine s is ``1-(1-p^n_planes)^n_tables`` with
+    ``p = 1-acos(s)/π``, tunable without touching the join shape.
+    Arrow batch → one (rows × tables·planes) matmul."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim)).astype(np.float64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series([])
+        bits = (m @ planes.T) > 0  # rows × (tables·planes)
+        per_table = bits.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.Series(per_table.astype(np.int64).tolist())
+
+    return buckets
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, LSH-bucketed so the
-    self-join is bounded by bucket collisions (near-identical vectors
-    always share every-bit buckets at high threshold)."""
-    bucket = lsh_bucket_udf(dim, n_planes)
-    tagged = embeddings.select(
-        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket")
+    """All pairs with cosine >= threshold — the SCALE PATH for
+    embedding dedup (the exact O(n²) twin is the oracle query only).
+
+    Plan shape: one Arrow pass tags every vector with ``n_tables``
+    LSH bucket ids → posexplode → self-join on (table, bucket) →
+    distinct pairs → vectorized cosine verify. Two guarantees at
+    scale: the self-join is an equi-join bounded by bucket collisions
+    (never n²), and ``max_bucket_size`` skips degenerate buckets
+    (e.g. the all-zeros signature of boilerplate embeddings) whose
+    pairwise expansion is quadratic — mirroring the MinHash cap in
+    operators/dedup.py::minhash_lsh_candidates."""
+    tagger = lsh_table_buckets_udf(dim, n_planes, n_tables)
+    tagged = (
+        embeddings.select(
+            F.col(id_col), tagger(F.col(vec_col)).alias("_bks")
+        )
+        .select(
+            id_col, F.posexplode("_bks").alias("table", "bucket")
+        )
+        # both sides of the self-join read this; don't re-run the UDF
+        .persist()
     )
+    if max_bucket_size is not None:
+        sizes = tagged.groupBy("table", "bucket").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        tagged = tagged.join(
+            sizes.filter(F.col("_bucket_n") <= max_bucket_size),
+            ["table", "bucket"],
+        ).drop("_bucket_n")
     a, b = tagged.alias("a"), tagged.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn(
-            "sim",
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4),
-        )
-        .filter(F.col("sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "sim",
         )
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim", F.round(cosine_pair_udf()(F.col("va"), F.col("vb")), 4)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )

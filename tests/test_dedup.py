@@ -64,6 +64,43 @@ def test_simhash_finds_planted_pairs(corpus):
     assert (100, 101) in pairs  # one word changed → tiny hamming
 
 
+def test_jaccard_kernel_matches_hof_twin(corpus):
+    """The vectorized pandas Jaccard kernel must produce exactly the
+    values of the interpreted array_intersect/array_union HOF plan it
+    replaced (same shingle semantics, same rounding)."""
+    a, b = corpus.alias("a"), corpus.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.text").alias("ta"),
+        F.col("b.text").alias("tb"),
+    )
+    kernel = pairs.withColumn(
+        "j", F.round(D.jaccard_pair_udf(5)("ta", "tb"), 4)
+    )
+    hof = pairs.withColumn(
+        "j",
+        F.round(
+            F.size(
+                F.array_intersect(
+                    D.char_shingles(F.col("ta"), 5),
+                    D.char_shingles(F.col("tb"), 5),
+                )
+            ).cast("double")
+            / F.size(
+                F.array_union(
+                    D.char_shingles(F.col("ta"), 5),
+                    D.char_shingles(F.col("tb"), 5),
+                )
+            ),
+            4,
+        ),
+    )
+    k = {(r.id_a, r.id_b): r.j for r in kernel.collect()}
+    h = {(r.id_a, r.id_b): r.j for r in hof.collect()}
+    assert k == h
+
+
 def test_simhash_deterministic(corpus):
     a = {r.doc_id: r.sig for r in corpus.select(
         "doc_id", D.simhash64(F.col("text")).alias("sig")).collect()}

@@ -56,3 +56,53 @@ def test_embedding_near_dups_finds_planted(embeddings):
         ).collect()
     }
     assert (900, 901) in pairs
+
+
+def test_embedding_lsh_matches_exact_on_planted(spark):
+    """The banded-LSH scale path must recover the pairs the exact
+    O(n²) oracle twin finds at >=0.95 (planted near-identical pairs
+    collide in some table with overwhelming probability)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    for j in range(5):  # five planted near-dup pairs
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        rows.append((1000 + 2 * j, [float(x) for x in base]))
+        rows.append(
+            (1001 + 2 * j, [float(x) for x in base + 0.01 * rng.standard_normal(16)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    # exact >=0.95 pairs via brute force in numpy (the oracle twin's math)
+    m = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    exact = set()
+    ids = sorted(m)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = m[ids[x]], m[ids[y]]
+            s = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            if round(s, 4) >= 0.95:
+                exact.add((ids[x], ids[y]))
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dups(
+            df, threshold=0.95, dim=16, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert exact <= got  # every exact pair found (no false negatives)
+    assert got <= exact or not (got - exact)  # cosine verify kills false positives
+
+
+def test_embedding_near_dups_bucket_cap_bounds_degenerate(spark):
+    """A degenerate corpus (500 identical vectors → one bucket in every
+    table) must be SKIPPED by the cap, not expanded quadratically —
+    the same guarantee as the MinHash max_bucket_size."""
+    v = [float(x) for x in np.ones(16)]
+    rows = [(i, v) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.embedding_near_dups(
+        df, threshold=0.95, dim=16, n_planes=8, n_tables=4, max_bucket_size=100
+    )
+    # capped: the 500-member buckets are dropped → no pairs, bounded cost
+    assert got.count() == 0
