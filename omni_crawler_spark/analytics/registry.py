@@ -341,13 +341,23 @@ def window_topk(spark, sf_dir):
     doc="W3 — LIMIT/OFFSET pagination (dashboard.py:661-676)",
 )
 def window_pagination(spark, sf_dir):
-    w = Window.orderBy("doc_id")
+    """Keyset pagination: the page-40 cursor is the max key of the
+    first 40 rows (a distributed TakeOrderedAndProject, not a global
+    single-partition row_number), broadcast as a scalar predicate;
+    the page itself is another top-k past the cursor. No Exchange
+    funnels the whole table through one partition — survives 100x."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    cursor = (
+        d.select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+        .agg(F.max("doc_id").alias("last_seen"))
+    )
     return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "source", "n_chars")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 40) & (F.col("rn") <= 60))
-        .drop("rn")
+        d.join(F.broadcast(cursor), F.col("doc_id") > F.col("last_seen"))
+        .drop("last_seen")
+        .orderBy("doc_id")
+        .limit(20)
     )
 
 
