@@ -34,6 +34,7 @@ HEADLINE = [
     "window_per_group_topk",
     "window_moving_avg",
     "window_recent_100",
+    "search_fulltext",
     # training-data pipeline operators
     "dedup_exact_hash",
     "dedup_minhash_lsh",

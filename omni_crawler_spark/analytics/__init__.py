@@ -11,6 +11,7 @@ from omni_crawler_spark.analytics import registry_enrich as _enrich  # noqa: F40
 from omni_crawler_spark.analytics import registry_extra as _extra  # noqa: F401
 from omni_crawler_spark.analytics import registry_multimodal as _mm  # noqa: F401
 from omni_crawler_spark.analytics import registry_phrases as _ph  # noqa: F401
+from omni_crawler_spark.analytics import registry_search as _search  # noqa: F401
 from omni_crawler_spark.analytics import registry_sim as _sim  # noqa: F401
 from omni_crawler_spark.analytics import registry_sources as _src  # noqa: F401
 from omni_crawler_spark.analytics import registry_streaming as _stream  # noqa: F401

@@ -1,0 +1,238 @@
+"""Full-text relevance search (SURVEY §3.3, reference entry point 3).
+
+Re-expresses the reference's ES multi_match query
+(src/search/advanced_search.py:46-63) as tokenized multi-field scoring
+with the same per-field boosts (title^3, content^2, key_phrases^2,
+authors^1.5, domain^1.2), a fuzziness analog of ES ``fuzziness: AUTO``
+(max edit distance 0 for terms of length <3, 1 for <6, 2 otherwise —
+Levenshtein, JVM-codegen'd on both engines), and highlight fragment
+extraction matching :118-128 (content fragment_size 150, up to one
+fragment per term, ``<mark>`` tags) plus the content-preview shaping of
+:222-233 ('...'.join(fragments)[:300] + '...').
+
+Scoring model (our engine's deterministic analog of ES practical
+scoring): score = Σ over (field, query-term) pairs where the field
+contains a token within the term's edit budget, of the field's boost.
+Boosts are summed as integers ×10 so the total is exact and
+cross-engine reproducible.
+
+Scale shape: tokenization is a codegen'd split+explode (the same shape
+as agg_word_topk); the fuzzy match is a broadcast join of the tiny
+term table against distinct (doc, field, token) rows — no shuffle of
+the corpus beyond the final per-doc aggregation. At 100 TB you'd put
+an inverted-index table (token → doc ids, bucketed by token) in front
+and probe only rare terms fuzzily; the plan here is that probe stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.analytics.registry import _SPLIT_SQL, _t, register
+from omni_crawler_spark.functions.text import WORD_SPLIT_RE
+
+# query: "query strem" — 'strem' only matches via the fuzziness analog
+# (levenshtein('strem','stream')=1 within the len-5 budget of 1)
+FUZZY_TERMS = [("query", 1), ("strem", 1)]
+EXACT_TERMS = ["query", "stream"]
+
+# ES multi_match boosts ×10 (advanced_search.py:52-58), integer-exact
+BOOSTS10 = {"title": 30, "content": 20, "key_phrases": 20,
+            "authors": 15, "domain": 12}
+
+_TITLE_SQL = (
+    "'Document ' || doc_id || "
+    "(CASE WHEN doc_id % 4 = 0 THEN ' query digest' ELSE ' notes' END)"
+)
+_PHRASES_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'stream processing;window functions' "
+    "WHEN 1 THEN 'query planning;cost model' "
+    "ELSE 'hash join;sort merge' END)"
+)
+_AUTHORS_SQL = (
+    "(['Alice Johnson','Bob Smith','Carol White','David Brown'])"
+    "[(doc_id % 4) + 1] || ';' || "
+    "(['Eve Davis','Frank Miller','Grace Wilson'])[(doc_id % 3) + 1]"
+)
+
+
+def _title_col():
+    return F.concat(
+        F.lit("Document "), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" query digest")).otherwise(
+            F.lit(" notes")
+        ),
+    )
+
+
+def _phrases_col():
+    m = F.pmod(F.col("doc_id"), 3)
+    return (
+        F.when(m == 0, F.lit("stream processing;window functions"))
+        .when(m == 1, F.lit("query planning;cost model"))
+        .otherwise(F.lit("hash join;sort merge"))
+    )
+
+
+def _authors_col():
+    first = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ["Alice Johnson", "Bob Smith", "Carol White", "David Brown"]]),
+        (F.pmod(F.col("doc_id"), 4) + 1).cast("int"),
+    )
+    second = F.element_at(
+        F.array(*[F.lit(x) for x in ["Eve Davis", "Frank Miller", "Grace Wilson"]]),
+        (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
+    )
+    return F.concat(first, F.lit(";"), second)
+
+
+@register(
+    "search_fulltext",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_TITLE_SQL} AS title, text AS content,
+             {_PHRASES_SQL} AS key_phrases, {_AUTHORS_SQL} AS authors,
+             source AS domain
+      FROM documents
+    ),
+    fields(doc_id, fld, boost10, val) AS (
+      SELECT doc_id, 'title', 30, title FROM docs UNION ALL
+      SELECT doc_id, 'content', 20, content FROM docs UNION ALL
+      SELECT doc_id, 'key_phrases', 20, key_phrases FROM docs UNION ALL
+      SELECT doc_id, 'authors', 15, authors FROM docs UNION ALL
+      SELECT doc_id, 'domain', 12, domain FROM docs
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, fld, boost10,
+             unnest(list_distinct(regexp_split_to_array(lower(val),
+                    '{_SPLIT_SQL}'))) AS tok
+      FROM fields
+    ),
+    terms(term, maxed) AS (VALUES ('query', 1), ('strem', 1)),
+    matched AS (
+      SELECT DISTINCT doc_id, fld, boost10, term
+      FROM toks JOIN terms ON tok <> '' AND levenshtein(tok, term) <= maxed
+    )
+    SELECT doc_id, ROUND(CAST(SUM(boost10) AS DOUBLE) / 10.0, 4) AS score
+    FROM matched GROUP BY doc_id
+    HAVING SUM(boost10) > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="W6/§3.3 — ES multi_match parity: tokenized multi-field scoring "
+    "with the reference boosts title^3/content^2/key_phrases^2/"
+    "authors^1.5/domain^1.2 and a fuzziness:AUTO analog (edit-distance "
+    "budget by term length) — advanced_search.py:46-63",
+)
+def search_fulltext(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        _title_col().alias("title"),
+        F.col("text").alias("content"),
+        _phrases_col().alias("key_phrases"),
+        _authors_col().alias("authors"),
+        F.col("source").alias("domain"),
+    )
+    fields = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(fld).alias("fld"),
+                    F.lit(b10).alias("boost10"),
+                    F.col(fld).alias("val"),
+                )
+                for fld, b10 in BOOSTS10.items()
+            ])
+        ).alias("f"),
+    ).select("doc_id", "f.fld", "f.boost10", "f.val")
+    toks = fields.select(
+        "doc_id", "fld", "boost10",
+        F.explode(
+            F.array_distinct(F.split(F.lower("val"), WORD_SPLIT_RE))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    terms = spark.createDataFrame(FUZZY_TERMS, "term string, maxed int")
+    matched = (
+        toks.join(
+            F.broadcast(terms),
+            F.levenshtein(F.col("tok"), F.col("term")) <= F.col("maxed"),
+        )
+        .select("doc_id", "fld", "boost10", "term")
+        .distinct()
+    )
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.round(F.sum("boost10").cast("double") / 10.0, 4).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def _frag_sql(term: str) -> str:
+    """One <=150-char fragment centred on the first occurrence of
+    ``term`` in lower(text), with every occurrence marked."""
+    return (
+        f"CASE WHEN strpos(lower(text), '{term}') > 0 THEN "
+        f"replace(substr(lower(text), "
+        f"greatest(1, strpos(lower(text), '{term}') - 60), 150), "
+        f"'{term}', '<mark>{term}</mark>') END"
+    )
+
+
+def _frag_col(term: str):
+    lt = F.lower(F.col("text"))
+    pos = F.instr(lt, term)
+    frag = F.substring(lt, F.greatest(F.lit(1), pos - 60).cast("int"), 150)
+    return F.when(
+        pos > 0, F.replace(frag, F.lit(term), F.lit(f"<mark>{term}</mark>"))
+    )
+
+
+@register(
+    "search_highlight",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_TITLE_SQL} AS title, text FROM documents
+      WHERE strpos(lower(text), 'query') > 0
+         OR strpos(lower(text), 'stream') > 0
+    )
+    SELECT doc_id,
+           replace(replace(lower(title), 'query', '<mark>query</mark>'),
+                   'stream', '<mark>stream</mark>') AS title_hl,
+           substr(concat_ws('...', {_frag_sql('query')}, {_frag_sql('stream')}),
+                  1, 300) || '...' AS content_preview
+    FROM docs ORDER BY doc_id LIMIT 20
+    """,
+    doc="§3.3 highlight parity — <mark>-tagged whole-field title "
+    "highlight (number_of_fragments 0) + 150-char content fragments "
+    "joined '...' and capped at 300 per the content-preview shaping "
+    "(advanced_search.py:118-128,222-233)",
+)
+def search_highlight(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    hit = (F.instr(lt, "query") > 0) | (F.instr(lt, "stream") > 0)
+    title_hl = F.replace(
+        F.replace(F.lower(_title_col()), F.lit("query"),
+                  F.lit("<mark>query</mark>")),
+        F.lit("stream"), F.lit("<mark>stream</mark>"),
+    )
+    preview = F.concat(
+        F.substring(
+            F.concat_ws("...", _frag_col("query"), _frag_col("stream")), 1, 300
+        ),
+        F.lit("..."),
+    )
+    return (
+        d.filter(hit)
+        .select(
+            "doc_id",
+            title_hl.alias("title_hl"),
+            preview.alias("content_preview"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
