@@ -218,3 +218,70 @@ def agg_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "clean_main_content",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body><nav>Home Sections Topics</nav>'
+             || '<div class="advertisement">ADVERTISEMENT Sign up for our'
+             || ' newsletter</div><article><p>' || text
+             || '</p></article><footer>Follow us on networks</footer>'
+             || '</body></html>' AS html
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS basic,
+             trim(regexp_replace(regexp_replace(
+                  regexp_extract(html, '(?s)<article[^>]*>([\\s\\S]*?)</article>', 1),
+                  '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS main
+      FROM h
+    )
+    SELECT doc_id, length(basic) AS len_basic, length(main) AS len_main,
+           length(basic) - length(main) AS junk_removed,
+           CASE WHEN main LIKE '%ADVERTISEMENT%' THEN 1 ELSE 0 END AS ad_leaked
+    FROM c ORDER BY doc_id
+    """,
+    doc="F8 boilerplate/main-content extraction delta — the tag-strip-only "
+    "clean (content_cleaner.py:276-288 _basic_clean) leaks nav/ad/footer "
+    "text; 'article p' main-content extraction (:152-195) removes it. "
+    "Emits per-doc lengths of both paths + the junk delta; the full "
+    "cascade (ad-class removal, domain selectors) runs in the Arrow "
+    "fetch stage (frontier/fetch.py::extract_main_content_py) with "
+    "per-row parity vs tests/reference_sim.py",
+)
+def clean_main_content(spark, sf_dir):
+    html = F.concat(
+        F.lit("<html><body><nav>Home Sections Topics</nav>"),
+        F.lit('<div class="advertisement">ADVERTISEMENT Sign up for our'),
+        F.lit(" newsletter</div><article><p>"),
+        F.col("text"),
+        F.lit("</p></article><footer>Follow us on networks</footer>"),
+        F.lit("</body></html>"),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+
+    def strip_norm(c):
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(c, "<[^>]+>", " "), r"\s+", " ")
+        )
+
+    basic = strip_norm(F.col("html"))
+    main = strip_norm(
+        F.regexp_extract("html", r"(?s)<article[^>]*>([\s\S]*?)</article>", 1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.length(basic).alias("len_basic"),
+            F.length(main).alias("len_main"),
+            (F.length(basic) - F.length(main)).alias("junk_removed"),
+            F.when(main.contains("ADVERTISEMENT"), 1).otherwise(0).alias(
+                "ad_leaked"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -77,7 +77,8 @@ CATEGORY_KEYWORDS = [
 
 
 def clean_html_py(html: str) -> str:
-    """Python twin of functions/text.py::clean_html (same regexes)."""
+    """Python twin of functions/text.py::clean_html (same regexes) —
+    the _basic_clean fallback (content_cleaner.py:276-288)."""
     s = _RE_BLOCKS.sub(" ", html)
     s = _RE_COMMENTS.sub(" ", s)
     s = _RE_TAGS.sub(" ", s)
@@ -86,10 +87,141 @@ def clean_html_py(html: str) -> str:
     return _RE_WS.sub(" ", s).strip()
 
 
+# --- main-content / boilerplate extraction (content_cleaner.py:100-244) ----
+#
+# The reference runs a BeautifulSoup cascade; this is the same cascade
+# as deterministic regexes over the (non-nested) synthetic pages: a
+# production deployment would swap a readability/bs4 call into this
+# same Arrow batch — the Spark-side shape (one Python stage, columns
+# out) does not change.
+
+# unwanted paired tags, removed with their bodies (:102-106)
+_RE_UNWANTED_BLOCKS = re.compile(
+    r"(?is)<(script|style|noscript|template|nav|header|footer|aside|form"
+    r"|iframe|svg|button)[^>]*>.*?</\1>"
+)
+# void/self-closing unwanted tags (:102-106)
+_RE_VOID_TAGS = re.compile(r"(?i)<(?:meta|link|img|source|audio|video)\b[^>]*>")
+# ad-indicator class/id fragments (:113-117)
+AD_INDICATORS = [
+    "advertisement", "ad-container", "banner-ad", "popup",
+    "newsletter", "subscribe", "social-share", "comments",
+    "share", "related", "recommended", "popular", "trending",
+]
+_RE_AD_ELEMENT = re.compile(
+    r'(?is)<(\w+)[^>]*\b(?:class|id)="[^"]*(?:'
+    + "|".join(AD_INDICATORS)
+    + r')[^"]*"[^>]*>.*?</\1>'
+)
+# domain → content class selectors (:31-61); npr's .storytext kept as
+# the reference-cited entry, synthetic Zipf-head hosts exercise it
+DOMAIN_SELECTORS: dict[str, list[str]] = {
+    "npr.org": ["storytext", "storycontent"],
+    **{f"host{i}.example.com": ["storytext"] for i in range(5)},
+}
+_RE_P = re.compile(r"(?is)<p[^>]*>(.*?)</p>")
+# text-level unwanted patterns (:14-28, the non-tag subset)
+_UNWANTED_TEXT = [
+    re.compile(p, re.IGNORECASE | re.DOTALL)
+    for p in [
+        r"ADVERTISEMENT",
+        r"Sign up for.*?newsletter",
+        r"Follow us on",
+        r"Download Embed",
+        r"Listen · \d+:\d+",
+        r"Transcript",
+    ]
+]
+
+
+def _element_text(inner_html: str) -> str:
+    """get_text + whitespace collapse (content_cleaner.py:197-207)."""
+    return _RE_WS.sub(" ", _RE_TAGS.sub(" ", inner_html)).strip()
+
+
+def extract_main_content_py(html: str, domain: str) -> str | None:
+    """Main-article extraction cascade (content_cleaner.py:127-195):
+    domain-specific selectors → generic 'article p' / 'main p' →
+    all-<p> last resort. Returns None when nothing qualifies (caller
+    falls back to _basic_clean)."""
+    s = _RE_UNWANTED_BLOCKS.sub(" ", html)
+    s = _RE_AD_ELEMENT.sub(" ", s)
+    s = _RE_VOID_TAGS.sub(" ", s)
+    dom = re.sub(r"^www\.", "", (domain or "").lower())
+    for cls in DOMAIN_SELECTORS.get(dom, []):
+        parts = [
+            t
+            for m in re.finditer(
+                rf'(?is)<(\w+)[^>]*class="[^"]*{cls}[^"]*"[^>]*>(.*?)</\1>', s
+            )
+            if (t := _element_text(m.group(2))) and len(t) > 50
+        ]
+        if parts and len(combined := " ".join(parts)) > 200:
+            return combined
+    for container in ("article", "main"):
+        parts = [
+            t
+            for m in re.finditer(
+                rf"(?is)<{container}[^>]*>(.*?)</{container}>", s
+            )
+            for pm in _RE_P.finditer(m.group(1))
+            if (t := _element_text(pm.group(1))) and len(t) > 20
+        ]
+        if parts and len(combined := " ".join(parts)) > 200:
+            return combined
+    parts = [
+        t
+        for pm in _RE_P.finditer(s)
+        if (t := _element_text(pm.group(1))) and 50 < len(t) < 1000
+    ]
+    return " ".join(parts) if parts else None
+
+
+def clean_text_py(text: str) -> str:
+    """Post-extraction normalization (content_cleaner.py:221-244):
+    entity unescape, unwanted text patterns, whitespace collapse."""
+    for ent, ch in _ENTITIES:
+        text = text.replace(ent, ch)
+    for pat in _UNWANTED_TEXT:
+        text = pat.sub("", text)
+    return _RE_WS.sub(" ", text).strip()
+
+
 def extract_title_py(html: str, domain: str) -> str:
     m = _RE_TITLE.search(html)
     t = _RE_WS.sub(" ", m.group(1)).strip()[:500] if m else ""
     return t if t else f"Article from {domain}"
+
+
+# --- multi-engine fallback chain (multi_engine_crawler.py:29-53) -----------
+#
+# The reference tries requests → enhanced-requests → selenium per URL,
+# stopping at the first engine that returns an article. The synthetic
+# stand-in makes per-(url, engine) availability a pure hash function:
+# 'requests' is down for ~15% of URLs, 'enhanced' for ~30% of those,
+# 'selenium' always answers — so the chain recovers every transient
+# failure and the drain's fetched/validated counts are engine-
+# independent, exactly like the reference (same page whichever engine
+# wins). The winning engine + attempt count are recorded as columns.
+
+ENGINE_CHAIN = ["requests", "enhanced", "selenium"]
+_ENGINE_FAIL_PCT = {"requests": 15, "enhanced": 30, "selenium": 0}
+
+
+def _engine_roll(url_hash: int, salt: int) -> int:
+    x = (url_hash * 0x9E3779B97F4A7C15 + salt * 0xC2B2AE3D27D4EB4F) & (
+        2**64 - 1
+    )
+    x ^= x >> 29
+    return x % 100
+
+
+def engine_for(url_hash: int) -> tuple[str, int]:
+    """(winning engine, attempts) for a URL — deterministic."""
+    for i, eng in enumerate(ENGINE_CHAIN):
+        if _engine_roll(url_hash, i + 1) >= _ENGINE_FAIL_PCT[eng]:
+            return eng, i + 1
+    return ENGINE_CHAIN[-1], len(ENGINE_CHAIN)
 
 
 def process_page(
@@ -97,8 +229,16 @@ def process_page(
 ) -> dict:
     """Fetch one page (synthetic server) and produce the article
     record — the per-row codec invoked from the Arrow batch loop."""
+    crawler_engine, n_engine_attempts = engine_for(int(url_hash))
     status, html = synth_page_html(int(url_hash), int(crawl_seq))
-    content = clean_html_py(_RE_HEAD.sub(" ", html))
+    body_html = _RE_HEAD.sub(" ", html)
+    # main-content extraction first (content_cleaner.py:78-82: use the
+    # cascade result when substantial, else the basic regex clean)
+    main = extract_main_content_py(body_html, host)
+    if main is not None and len(main.strip()) >= 100:
+        content = clean_text_py(main)
+    else:
+        content = clean_html_py(body_html)
     lower = content.lower()
     title = extract_title_py(html, host)
     m = _RE_META_DESC.search(html)
@@ -159,6 +299,8 @@ def process_page(
         "article_id": article_id,
         "quality_score": q,
         "category": category,
+        "crawler_engine": crawler_engine,
+        "n_engine_attempts": n_engine_attempts,
     }
 
 
@@ -175,6 +317,8 @@ ARTICLE_FIELDS = [
     StructField("article_id", StringType()),
     StructField("quality_score", IntegerType()),
     StructField("category", StringType()),
+    StructField("crawler_engine", StringType()),
+    StructField("n_engine_attempts", IntegerType()),
 ]
 
 

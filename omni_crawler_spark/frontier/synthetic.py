@@ -112,7 +112,20 @@ PAGE_WORDS = [
 def synth_page_html(url_hash: int, article_no: int) -> tuple[int, str]:
     """(status, html) for a URL — pure function of its 64-bit hash.
     ~5% 404s, ~3% error-pages, ~4% thin content (trips the quality
-    gate), else a full article with title/meta-description/body."""
+    gate), else a full article with title/meta-description/body.
+
+    Pages carry realistic BOILERPLATE (nav, ad div with an
+    ad-indicator class, newsletter prompt, footer) and one of three
+    body structures, so the main-content extractor's cascade
+    (frontier/fetch.py::extract_main_content_py, mirroring
+    content_cleaner.py:113-195) is exercised end-to-end:
+
+    - variant 0: ``<article><p>…</p></article>`` (generic 'article p')
+    - variant 1: ``<main>`` with per-sentence ``<p>`` ('main p')
+    - variant 2: ``<div class="storytext">`` with per-sentence ``<p>``
+      (domain-selector path on selector hosts; all-<p> last resort
+      elsewhere — same extracted text either way)
+    """
     import numpy as np
 
     rng = np.random.default_rng(url_hash & 0xFFFFFFFFFFFF)
@@ -149,11 +162,25 @@ def synth_page_html(url_hash: int, article_no: int) -> tuple[int, str]:
                 f'<a href="/sec{int(rng.integers(0, 7))}'
                 f'/article-{int(rng.integers(0, 10**6))}">more</a>'
             )
+    variant = int(rng.integers(0, 3))
+    if variant == 0:
+        main_block = f"<article><p>{body}</p></article>"
+    else:
+        paras = "".join(f"<p>{s}</p>" for s in sents)
+        if variant == 1:
+            main_block = f"<main>{paras}</main>"
+        else:
+            main_block = f'<div class="storytext">{paras}</div>'
     html = (
         f"<html><head><title> {title} </title>"
         f'<meta name="description" content="{caption}">'
         f"</head><body><script>var x=1;</script>"
-        f'<article><p>{body}</p></article>'
-        f'<img src="/{image_id}.png">{links}</body></html>'
+        f'<nav><a href="#top">Home</a> Sections Topics Trending Now</nav>'
+        f'<div class="advertisement">ADVERTISEMENT Sign up for our '
+        f"newsletter today</div>"
+        f"{main_block}"
+        f'<img src="/{image_id}.png">{links}'
+        f"<footer>Follow us on the usual networks. © Example Media.</footer>"
+        f"</body></html>"
     )
     return 200, html

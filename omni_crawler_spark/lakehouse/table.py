@@ -25,13 +25,34 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 class SnapshotTable:
-    def __init__(self, root: str, name: str = "table"):
+    """``key``/``on_conflict`` give the table keyed MERGE semantics
+    (merge-on-read): ``upsert`` appends rows tagged with their commit
+    version, and ``read`` resolves one row per key — newest commit
+    wins for ``on_conflict='update'`` (PG ``ON CONFLICT DO UPDATE``,
+    omni_storage.py:137-205), oldest for ``'ignore'`` (entity
+    ``DO NOTHING``, :186-196). ``compact`` rewrites the resolved view
+    into one snapshot, bounding read amplification — the Iceberg
+    MOR + maintenance-compaction pattern. At scale the resolve window
+    shuffles on the key once per read; bucketing the table by the key
+    makes it a partition-local sort."""
+
+    def __init__(
+        self,
+        root: str,
+        name: str = "table",
+        key: list[str] | None = None,
+        on_conflict: str = "update",
+    ):
         self.root = root
         self.name = name
+        self.key = key
+        assert on_conflict in ("update", "ignore")
+        self.on_conflict = on_conflict
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
@@ -98,15 +119,57 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(new_dir)
         return self._commit([new_dir], "overwrite", op_id)
 
+    def upsert(self, df: DataFrame, op_id: str | None = None) -> int:
+        """Keyed MERGE: append ``df`` tagged with its commit version;
+        ``read`` resolves per-key conflicts by ``on_conflict``. No-op
+        if ``op_id`` already committed (idempotent replay)."""
+        if self.key is None:
+            raise ValueError(f"table {self.name} has no key — use append()")
+        if op_id is not None and op_id in self.committed_op_ids():
+            return self.current_version()
+        version = self.current_version() + 1
+        return self.append(df.withColumn("_v", F.lit(version)), op_id)
+
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the resolved view as a single snapshot (keyed
+        tables only): bounds the per-read merge work after many
+        upserts. Resolved rows keep their winning ``_v`` tags, so
+        reads before/after compaction are identical."""
+        if self.key is None:
+            raise ValueError(f"table {self.name} has no key")
+        resolved = self._resolve(self.read(spark, _resolve=False), keep_v=True)
+        new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        resolved.write.mode("overwrite").parquet(new_dir)
+        return self._commit([new_dir], "compact", None)
+
     # -- reads ---------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Read the table at ``version`` (time travel) or latest."""
+    def _resolve(self, df: DataFrame, keep_v: bool = False) -> DataFrame:
+        if self.key is None or "_v" not in df.columns:
+            return df
+        order = F.desc("_v") if self.on_conflict == "update" else F.asc("_v")
+        w = Window.partitionBy(*self.key).orderBy(order)
+        out = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return out if keep_v else out.drop("_v")
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        _resolve: bool = True,
+    ) -> DataFrame:
+        """Read the table at ``version`` (time travel) or latest.
+        Keyed tables resolve to one row per key (merge-on-read)."""
         version = version if version is not None else self.current_version()
         if version == 0:
             raise ValueError(f"table {self.name} has no snapshots yet")
         dirs = self._read_manifest(version)["data_dirs"]
-        return spark.read.parquet(*dirs)
+        df = spark.read.parquet(*dirs)
+        return self._resolve(df) if _resolve else df
 
     def is_empty(self) -> bool:
         return self.current_version() == 0

@@ -81,6 +81,80 @@ def clean_html(html: str) -> str:
     return re.sub(r"\s+", " ", html).strip()
 
 
+# main-content extraction twin (content_cleaner.py:100-244 semantics;
+# record-at-a-time, independent of the engine's implementation)
+
+_AD_WORDS = (
+    "advertisement|ad-container|banner-ad|popup|newsletter|subscribe"
+    "|social-share|comments|share|related|recommended|popular|trending"
+)
+_SIM_SELECTORS = {"npr.org": ["storytext", "storycontent"],
+                  **{f"host{i}.example.com": ["storytext"] for i in range(5)}}
+
+
+def _el_text(inner: str) -> str:
+    return re.sub(r"\s+", " ", re.sub(r"(?s)<[^>]+>", " ", inner)).strip()
+
+
+def extract_main(html: str, domain: str) -> str | None:
+    s = re.sub(
+        r"(?is)<(script|style|noscript|template|nav|header|footer|aside"
+        r"|form|iframe|svg|button)[^>]*>.*?</\1>", " ", html)
+    s = re.sub(
+        rf'(?is)<(\w+)[^>]*\b(?:class|id)="[^"]*(?:{_AD_WORDS})[^"]*"'
+        r"[^>]*>.*?</\1>", " ", s)
+    s = re.sub(r"(?i)<(?:meta|link|img|source|audio|video)\b[^>]*>", " ", s)
+    dom = re.sub(r"^www\.", "", domain.lower())
+    for cls in _SIM_SELECTORS.get(dom, []):
+        parts = []
+        for m in re.finditer(
+            rf'(?is)<(\w+)[^>]*class="[^"]*{cls}[^"]*"[^>]*>(.*?)</\1>', s
+        ):
+            t = _el_text(m.group(2))
+            if t and len(t) > 50:
+                parts.append(t)
+        if parts and len(" ".join(parts)) > 200:
+            return " ".join(parts)
+    for container in ("article", "main"):
+        parts = []
+        for m in re.finditer(rf"(?is)<{container}[^>]*>(.*?)</{container}>", s):
+            for pm in re.finditer(r"(?is)<p[^>]*>(.*?)</p>", m.group(1)):
+                t = _el_text(pm.group(1))
+                if t and len(t) > 20:
+                    parts.append(t)
+        if parts and len(" ".join(parts)) > 200:
+            return " ".join(parts)
+    parts = []
+    for pm in re.finditer(r"(?is)<p[^>]*>(.*?)</p>", s):
+        t = _el_text(pm.group(1))
+        if t and 50 < len(t) < 1000:
+            parts.append(t)
+    return " ".join(parts) if parts else None
+
+
+def clean_text(text: str) -> str:
+    for ent, ch in [
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ]:
+        text = text.replace(ent, ch)
+    for pat in [
+        r"ADVERTISEMENT", r"Sign up for.*?newsletter", r"Follow us on",
+        r"Download Embed", r"Listen · \d+:\d+", r"Transcript",
+    ]:
+        text = re.sub(pat, "", text, flags=re.IGNORECASE | re.DOTALL)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def clean_content(html: str, domain: str) -> str:
+    """Full clean: main-content cascade, basic-clean fallback."""
+    body = re.sub(r"(?is)<head[^>]*>.*?</head>", " ", html)
+    main = extract_main(body, domain)
+    if main is not None and len(main.strip()) >= 100:
+        return clean_text(main)
+    return clean_html(body)
+
+
 def extract_title(html: str, domain: str) -> str:
     m = re.search(r"(?is)<title[^>]*>(.*?)</title>", html)
     t = re.sub(r"\s+", " ", m.group(1)).strip()[:500] if m else ""
@@ -88,7 +162,7 @@ def extract_title(html: str, domain: str) -> str:
 
 
 def validate(html: str, host: str) -> tuple[bool, str, str]:
-    content = clean_html(html)
+    content = clean_content(html, host)
     title = extract_title(html, host)
     lc = content.lower()
     if len(content) < 200 or len(words_of(content)) < 50:

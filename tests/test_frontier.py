@@ -80,6 +80,62 @@ def test_seen_filter_exact_semantics(spark):
     assert with_bloom == exact
 
 
+def test_clean_content_parity_and_boilerplate_removed():
+    """Engine clean (fetch.py cascade) ≡ simulator clean per page, and
+    nav/ad/footer boilerplate never reaches the stored content."""
+    from omni_crawler_spark.frontier import fetch as FX
+    from omni_crawler_spark.frontier.synthetic import synth_page_html
+
+    n_main_path = 0
+    for h in range(400):
+        url_hash = xxh64_str(f"probe-{h}")
+        host = f"host{h % 9}.example.com"
+        status, html = synth_page_html(url_hash, 1)
+        if status != 200:
+            continue
+        rec = FX.process_page(
+            f"https://{host}/x-{h}", host, url_hash, 1
+        )
+        sim_content = SIM.clean_content(html, host)
+        assert rec["content"] == sim_content, (h, host)
+        for junk in ("ADVERTISEMENT", "Trending Now", "Follow us",
+                     "Example Media", "newsletter"):
+            assert junk not in rec["content"], (h, junk)
+        if FX.extract_main_content_py(html, host) is not None:
+            n_main_path += 1
+    # the cascade must actually fire on the article pages, including
+    # the domain-selector variant on host0-4
+    assert n_main_path > 200
+
+
+def test_engine_fallback_chain():
+    """multi_engine_crawler.py:29-53 semantics: engine-1 failures are
+    recovered by the next engine; the fetched page (and so the drain's
+    validated counts) are identical whichever engine wins."""
+    from omni_crawler_spark.frontier import fetch as FX
+
+    engines_seen = set()
+    for h in range(2000):
+        url_hash = xxh64_str(f"eng-{h}")
+        eng, attempts = FX.engine_for(url_hash)
+        assert eng in FX.ENGINE_CHAIN
+        assert attempts == FX.ENGINE_CHAIN.index(eng) + 1
+        engines_seen.add(eng)
+        # deterministic: same answer every call
+        assert FX.engine_for(url_hash) == (eng, attempts)
+    # all three engines exercised: ~15% fall past requests, ~4.5% to selenium
+    assert engines_seen == set(FX.ENGINE_CHAIN)
+    # recovery leaves the article record intact: content equals the
+    # single-engine simulator output regardless of which engine won
+    for h in range(50):
+        url_hash = xxh64_str(f"eng-{h}")
+        host = "host7.example.com"
+        rec = FX.process_page(f"https://{host}/e-{h}", host, url_hash, 1)
+        _, html = FX.synth_page_html(url_hash, 1)
+        assert rec["content"] == SIM.clean_content(html, host)
+        assert rec["crawler_engine"] == FX.engine_for(url_hash)[0]
+
+
 @pytest.fixture(scope="module")
 def crawl_outputs(spark, tmp_path_factory):
     wh = str(tmp_path_factory.mktemp("wh"))

@@ -40,3 +40,53 @@ def test_read_empty_raises(spark, tmp_path):
     assert t.is_empty()
     with pytest.raises(ValueError):
         t.read(spark)
+
+
+def _rows(t, spark):
+    return {
+        (r.url, r.quality) for r in t.read(spark).select("url", "quality").collect()
+    }
+
+
+def test_upsert_updates_in_place(spark, tmp_path):
+    """S5 ON CONFLICT DO UPDATE: a re-crawled URL replaces the old
+    record instead of appending a second one."""
+    t = SnapshotTable(str(tmp_path / "t"), key=["url"], on_conflict="update")
+    t.upsert(spark.createDataFrame(
+        [("u1", 10), ("u2", 20)], "url string, quality int"))
+    t.upsert(spark.createDataFrame(
+        [("u1", 99), ("u3", 30)], "url string, quality int"))
+    assert _rows(t, spark) == {("u1", 99), ("u2", 20), ("u3", 30)}
+
+
+def test_upsert_ignore_keeps_first(spark, tmp_path):
+    """S6 entity DO NOTHING: the first write of a key wins."""
+    t = SnapshotTable(str(tmp_path / "t"), key=["url"], on_conflict="ignore")
+    t.upsert(spark.createDataFrame([("u1", 10)], "url string, quality int"))
+    t.upsert(spark.createDataFrame(
+        [("u1", 99), ("u2", 20)], "url string, quality int"))
+    assert _rows(t, spark) == {("u1", 10), ("u2", 20)}
+
+
+def test_upsert_replay_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), key=["url"])
+    df = spark.createDataFrame([("u1", 10)], "url string, quality int")
+    v1 = t.upsert(df, op_id="cycle-1")
+    v2 = t.upsert(df, op_id="cycle-1")  # crash-replay → no-op
+    assert v1 == v2
+    assert _rows(t, spark) == {("u1", 10)}
+
+
+def test_compact_preserves_resolved_view(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), key=["url"])
+    for q in (1, 2, 3):
+        t.upsert(spark.createDataFrame(
+            [("u1", q), (f"u{q}", q * 10)], "url string, quality int"))
+    before = _rows(t, spark)
+    t.compact(spark)
+    assert _rows(t, spark) == before
+    # compaction collapsed the manifest to one data dir
+    assert len(t._read_manifest(t.current_version())["data_dirs"]) == 1
+    # and further upserts still resolve on top of the compacted base
+    t.upsert(spark.createDataFrame([("u1", 777)], "url string, quality int"))
+    assert ("u1", 777) in _rows(t, spark)
