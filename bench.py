@@ -16,6 +16,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from omni_crawler_spark.analytics import REGISTRY  # noqa: E402
@@ -39,10 +41,13 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
     "sim_topk_cosine",
     "sim_ann_lsh",
     "enrich_doc_profile",
+    "text_token_count",
     "multimodal_decode_validate",
+    "multimodal_resize",
 ]
 
 DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))
@@ -85,8 +90,17 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench")
-    # warm the JVM + parquet footers so q1 doesn't pay session startup
+    # warm the JVM + parquet footers so q1 doesn't pay session startup,
+    # and spawn the Python UDF workers (daemon + 32 workers take ~3 s
+    # once per session; steady-state jobs reuse them)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 64, 1, 32).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

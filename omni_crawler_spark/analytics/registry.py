@@ -59,6 +59,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
+    """Total order for a SMALL result of an EXPENSIVE lineage.
+
+    A global ``orderBy`` plans a range exchange whose RangePartitioner
+    runs a separate sampling job over the child — the entire upstream
+    pipeline executes twice. When the result is known-small (verified
+    near-dup pairs, top-k), one single-partition shuffle of the final
+    rows + a partition-local sort gives the same total order with one
+    execution. Never use on large results."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def davg_int(col, n=4):
     """Exact cross-engine average of an integral column."""
     return F.round(F.sum(col).cast("double") / F.count(F.lit(1)), n)

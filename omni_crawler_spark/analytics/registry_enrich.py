@@ -224,3 +224,44 @@ def json_extract_props(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# BPE-ish pre-tokenizer: contraction suffixes, space-prefixed word /
+# number / punctuation runs, whitespace runs — the GPT-2 pattern minus
+# lookahead+\p classes so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+'))
+             AS n_bpe_tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text),
+                   '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+')),
+                 4) AS chars_per_tok
+    FROM documents ORDER BY doc_id
+    """,
+    doc="token counting for training-data budgeting: whitespace tokens "
+    "+ a BPE-ish pre-tokenizer regex (GPT-2-style contraction/word/"
+    "number/punct split, lookahead-free so Spark's Java regex and the "
+    "oracle's RE2 agree) + chars-per-token ratio — pure codegen'd "
+    "column expressions",
+)
+def text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_RE), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / n_bpe, 4).alias(
+            "chars_per_tok"
+        ),
+    ).orderBy("doc_id")

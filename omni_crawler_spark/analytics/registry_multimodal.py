@@ -51,6 +51,26 @@ def multimodal_image_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize",
+    None,
+    doc="image resize/thumbnail over the binary column (decode → "
+    "deterministic area/NN resample → lossless re-encode) chained into "
+    "decode: the resized slice remains a valid images table; dims and "
+    "determinism pytest-verified in tests/test_images.py",
+)
+def multimodal_resize(spark, sf_dir):
+    imgs = M.generate_images_df(spark, 100, partitions=8)
+    small = M.resize_images(imgs, 32, 32)
+    return (
+        small.select(
+            "image_id", "w", "h", "fmt",
+            F.length("bytes").alias("n_bytes"),
+        )
+        .orderBy("image_id")
+    )
+
+
+@register(
     "crawl_frontier_drain",
     None,
     doc="the flagship end-to-end pipeline (SURVEY §3.1): seeds → "

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from omni_crawler_spark.analytics.registry import _t, register
+from omni_crawler_spark.analytics.registry import _t, ordered_small, register
 from omni_crawler_spark.operators import dedup as D
 from omni_crawler_spark.operators import similarity as S
 
@@ -70,7 +70,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
+        .transform(lambda df: ordered_small(df, "id_a", "id_b"))
     )
 
 
@@ -130,7 +130,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         .withColumn("sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("sim") >= 0.9)
         .select("id_a", "id_b", "sim")
-        .orderBy("id_a", "id_b")
+        .transform(lambda df: ordered_small(df, "id_a", "id_b"))
     )
 
 
@@ -145,7 +145,9 @@ def dedup_embedding_cosine(spark, sf_dir):
 )
 def dedup_embedding_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(e, threshold=0.9).orderBy("id_a", "id_b")
+    return ordered_small(
+        S.embedding_near_dups(e, threshold=0.9), "id_a", "id_b"
+    )
 
 
 @register(
@@ -158,8 +160,9 @@ def dedup_embedding_lsh(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     cand = D.minhash_lsh_candidates(d, "doc_id", "text", num_perm=32, bands=8)
-    return D.jaccard_verify(d, cand, "doc_id", "text", threshold=0.8).orderBy(
-        "id_a", "id_b"
+    return ordered_small(
+        D.jaccard_verify(d, cand, "doc_id", "text", threshold=0.8),
+        "id_a", "id_b",
     )
 
 
@@ -171,8 +174,9 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_candidates(d, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
+    return ordered_small(
+        D.simhash_candidates(d, "doc_id", "text", max_hamming=3),
+        "id_a", "id_b",
     )
 
 

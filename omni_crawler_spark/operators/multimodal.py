@@ -233,6 +233,63 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def _resize_rgb(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Deterministic resize: exact block-mean when the target divides
+    the source (area interpolation), floor-index nearest-neighbor
+    otherwise — bit-reproducible across platforms (no float filter
+    kernels), which is what the pixel-validation invariants need."""
+    h, w = px.shape[:2]
+    if h % th == 0 and w % tw == 0:
+        bh, bw = h // th, w // tw
+        return (
+            px.reshape(th, bh, tw, bw, 3).mean(axis=(1, 3)).round()
+            .astype(np.uint8)
+        )
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return px[rows][:, cols]
+
+
+def resize_images(images: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Thumbnail/resize over the binary column: decode → deterministic
+    area/NN resample → lossless re-encode. Same Arrow-batch shape as
+    decode_validate; output is a valid images-table slice (so resize →
+    decode_validate chains). The standard pre-processing step before
+    batched feature extraction at 100 TB — resized bytes are ~1/64th
+    of the originals, so downstream shuffles move thumbnails, not
+    full images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = C.decode_image(bytes(r.bytes), r.fmt)
+                small = _resize_rgb(px, target_w, target_h)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "bytes": C.encode_image(small, "png"),
+                        "w": target_w,
+                        "h": target_h,
+                        "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_video(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — REAL plumbing, STUBBED decode: no video
     codec exists in this environment. The operator contract (binary

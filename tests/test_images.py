@@ -82,3 +82,35 @@ def test_phash_similarity_property():
 def test_video_stub_is_marked():
     with pytest.raises(NotImplementedError):
         M.frame_sample_video(None)
+
+
+def test_resize_images_dims_and_determinism(spark, images):
+    small = M.resize_images(images, 32, 32)
+    rows = {r.image_id: r for r in small.collect()}
+    assert len(rows) == 60
+    assert all(r.w == 32 and r.h == 32 and r.fmt == "png" for r in rows.values())
+    # decoded thumbnails have the right shape and are reproducible
+    again = {r.image_id: r for r in M.resize_images(images, 32, 32).collect()}
+    for iid, r in rows.items():
+        px = C.decode_image(bytes(r.bytes), "png")
+        assert px.shape == (32, 32, 3)
+        assert bytes(again[iid].bytes) == bytes(r.bytes)
+    # resized slice is itself a valid images-table input: re-resizing
+    # at the same size is stable (area mean of 1x1 blocks = identity)
+    twice = {r.image_id: bytes(r.bytes)
+             for r in M.resize_images(small, 32, 32).collect()}
+    assert twice == {k: bytes(v.bytes) for k, v in rows.items()}
+
+
+def test_resize_block_mean_exact():
+    import numpy as np
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = M._resize_rgb(px, 4, 4)
+    assert out.shape == (4, 4, 3)
+    # block mean of the top-left 2x2 block, channel 0: values 0,3,24,27
+    assert out[0, 0, 0] == round((0 + 3 + 24 + 27) / 4)
+    # non-divisible target falls back to floor-index NN sampling
+    nn = M._resize_rgb(px, 3, 3)
+    assert nn.shape == (3, 3, 3)
+    assert nn[0, 0, 0] == px[0, 0, 0]
