@@ -45,10 +45,12 @@ class CrawlEngine:
         warehouse: str,
         num_buckets: int = B.DEFAULT_BUCKETS,
         cycle_budget_ms: int = 120_000,
+        maintain_articles: bool = False,
     ):
         self.warehouse = warehouse
         self.num_buckets = num_buckets
         self.cycle_budget_ms = cycle_budget_ms
+        self.maintain_articles = maintain_articles
         self.frontier = SnapshotTable(os.path.join(warehouse, "frontier"), "frontier")
         self.seen = SnapshotTable(os.path.join(warehouse, "seen"), "seen")
         self.fetched = SnapshotTable(os.path.join(warehouse, "fetched"), "fetched")
@@ -56,12 +58,21 @@ class CrawlEngine:
         self.plan = SnapshotTable(os.path.join(warehouse, "plan"), "plan")
         self.bloom = SnapshotTable(os.path.join(warehouse, "bloom"), "bloom")
         self.lineage = SnapshotTable(os.path.join(warehouse, "lineage"), "lineage")
+        # current-state article store (S5 ON CONFLICT DO UPDATE): one
+        # row per url_hash, last crawl wins — the keyed MERGE twin of
+        # the append-only `fetched` log. Optional: the log alone
+        # serves analytics; enable when re-crawl-updates-in-place
+        # semantics are needed.
+        self.articles = SnapshotTable(
+            os.path.join(warehouse, "articles"), "articles",
+            key=["url_hash"], on_conflict="update",
+        )
 
     # ------------------------------------------------------------------ setup
 
-    def bootstrap(self, seeds: DataFrame, hosts: DataFrame) -> None:
-        """Seed the frontier: canonicalize, hash, host-split. Idempotent."""
-        f = seeds.withColumns(
+    @staticmethod
+    def _prepare_seeds(seeds: DataFrame) -> DataFrame:
+        return seeds.withColumns(
             {
                 "url_canonical": U.canonicalize_url(F.col("url")),
             }
@@ -71,8 +82,15 @@ class CrawlEngine:
                 "host": U.url_host(F.col("url_canonical")),
             }
         )
-        self.frontier.append(f, op_id="bootstrap")
+
+    def bootstrap(self, seeds: DataFrame, hosts: DataFrame) -> None:
+        """Seed the frontier: canonicalize, hash, host-split. Idempotent."""
+        self.frontier.append(self._prepare_seeds(seeds), op_id="bootstrap")
         self.hosts.overwrite(hosts, op_id="bootstrap-hosts")
+
+    def add_seeds(self, seeds: DataFrame, op_id: str) -> None:
+        """Append more discovery seeds mid-crawl (idempotent)."""
+        self.frontier.append(self._prepare_seeds(seeds), op_id=op_id)
 
     # ------------------------------------------------------------------ cycle
 
@@ -263,11 +281,19 @@ class CrawlEngine:
             )
             self.lineage.append(lineage_rows, op_id=f"{op}-lineage")
 
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        def commit_articles() -> None:
+            if not self.maintain_articles:
+                return
+            self.articles.upsert(
+                fetched_now.filter(F.col("valid")).drop("cycle_id"),
+                op_id=f"{op}-articles",
+            )
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
             futures = [
                 pool.submit(fn)
                 for fn in (commit_seen, commit_bloom, commit_frontier,
-                           commit_lineage)
+                           commit_lineage, commit_articles)
             ]
             for fut in futures:
                 fut.result()  # re-raise any commit failure
@@ -285,6 +311,25 @@ class CrawlEngine:
             stats["n_new"] = new.count()
         stats["wall_sec"] = round(time.time() - t0, 3)
         return stats
+
+    def reset_seen(self, spark: SparkSession, op_id: str) -> None:
+        """Operational re-crawl: clear the seen set (and its bloom) so
+        the next cycle refetches everything still in the frontier —
+        the analog of the reference's Redis cache expiry. The fetched
+        log keeps every attempt; the keyed ``articles`` store then
+        shows last-writer-wins update-in-place on the re-crawl."""
+        self.seen.overwrite(
+            spark.createDataFrame([], "url_hash long, url_canonical string"),
+            op_id=f"{op_id}-seen",
+        )
+        self.bloom.overwrite(
+            B.merge_bloom(
+                None,
+                spark.createDataFrame([], "url_hash long"),
+                num_buckets=self.num_buckets,
+            ),
+            op_id=f"{op_id}-bloom",
+        )
 
     # ------------------------------------------------------------------ reads
 

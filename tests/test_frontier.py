@@ -260,3 +260,42 @@ def test_incremental_bloom_covers_all_seen(spark, tmp_path):
     )
     fp = B.probe_bloom(unseen, blm).filter(F.col("maybe_seen")).count()
     assert fp / 3000 < 0.05
+
+
+def test_recrawl_updates_articles_in_place(spark, tmp_path):
+    """S5 end-to-end: the keyed articles store shows one current row
+    per URL across re-crawls (ON CONFLICT DO UPDATE), while the
+    append-only fetched log keeps every attempt."""
+    wh = str(tmp_path / "wh")
+    eng = CrawlEngine(wh, cycle_budget_ms=10**9, maintain_articles=True)
+    seeds, hosts = generate_seeds(spark, 300), generate_hosts(spark)
+    eng.bootstrap(seeds, hosts)
+    eng.run_cycle(spark, 1)
+    n_articles_1 = eng.articles.read(spark).count()
+    n_fetched_1 = eng.fetched.read(spark).count()
+    assert n_articles_1 > 0
+    # operational re-crawl: expire the seen set, re-seed, run again
+    eng.reset_seen(spark, "recrawl")
+    eng.add_seeds(seeds, op_id="recrawl-seeds")
+    eng.run_cycle(spark, 2)
+    # the log grew; the keyed store still has one row per url_hash
+    assert eng.fetched.read(spark).count() > n_fetched_1
+    arts = eng.articles.read(spark)
+    assert arts.count() == arts.select("url_hash").distinct().count()
+    # every re-fetched valid URL's article row is the cycle-2 version
+    refetched = (
+        eng.fetched.read(spark)
+        .filter((F.col("cycle_id") == 2) & F.col("valid"))
+        .select("url_hash")
+        .distinct()
+    )
+    from pyspark.sql import functions as _F
+    stale = (
+        eng.articles.read(spark, _resolve=False)
+        .join(refetched, "url_hash", "left_semi")
+        .groupBy("url_hash")
+        .agg(_F.max("_v").alias("vmax"))
+        .filter(_F.col("vmax") < 2)  # no winning row older than cycle 2's commit
+    )
+    # resolve picks max _v per key, and cycle-2 commits have higher _v
+    assert stale.count() == 0
