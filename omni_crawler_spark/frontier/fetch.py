@@ -135,8 +135,14 @@ _UNWANTED_TEXT = [
 
 
 def _element_text(inner_html: str) -> str:
-    """get_text + whitespace collapse (content_cleaner.py:197-207)."""
-    return _RE_WS.sub(" ", _RE_TAGS.sub(" ", inner_html)).strip()
+    """get_text + whitespace collapse (content_cleaner.py:197-207).
+    ``' '.join(s.split())`` ≡ ``\\s+``-collapse + strip (both use the
+    Unicode whitespace class); the tag pass is skipped when no '<'
+    exists — equivalence to the plain-regex form is pinned by the
+    per-page parity test against tests/reference_sim.py."""
+    if "<" in inner_html:
+        inner_html = _RE_TAGS.sub(" ", inner_html)
+    return " ".join(inner_html.split())
 
 
 def extract_main_content_py(html: str, domain: str) -> str | None:
@@ -177,14 +183,26 @@ def extract_main_content_py(html: str, domain: str) -> str | None:
     return " ".join(parts) if parts else None
 
 
+# one alternation of the same 6 patterns: if it finds nothing, none of
+# the individual subs can match
+_RE_UNWANTED_SCAN = re.compile(
+    "|".join(p.pattern for p in _UNWANTED_TEXT), re.IGNORECASE | re.DOTALL
+)
+
+
 def clean_text_py(text: str) -> str:
     """Post-extraction normalization (content_cleaner.py:221-244):
-    entity unescape, unwanted text patterns, whitespace collapse."""
-    for ent, ch in _ENTITIES:
-        text = text.replace(ent, ch)
-    for pat in _UNWANTED_TEXT:
-        text = pat.sub("", text)
-    return _RE_WS.sub(" ", text).strip()
+    entity unescape, unwanted text patterns, whitespace collapse.
+    Guarded fast paths (no '&' → skip unescape; combined-alternation
+    miss → skip the 6 subs) — byte-equivalent to the plain cascade,
+    pinned by the reference_sim parity test."""
+    if "&" in text:
+        for ent, ch in _ENTITIES:
+            text = text.replace(ent, ch)
+    if _RE_UNWANTED_SCAN.search(text):
+        for pat in _UNWANTED_TEXT:
+            text = pat.sub("", text)
+    return " ".join(text.split())
 
 
 def extract_title_py(html: str, domain: str) -> str:
