@@ -29,16 +29,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from omni_crawler_spark.analytics.registry import _SPLIT_SQL, _t, register
-from omni_crawler_spark.functions.text import WORD_SPLIT_RE
 
 # query: "query strem" — 'strem' only matches via the fuzziness analog
-# (levenshtein('strem','stream')=1 within the len-5 budget of 1)
-FUZZY_TERMS = [("query", 1), ("strem", 1)]
-EXACT_TERMS = ["query", "stream"]
-
-# ES multi_match boosts ×10 (advanced_search.py:52-58), integer-exact
-BOOSTS10 = {"title": 30, "content": 20, "key_phrases": 20,
-            "authors": 15, "domain": 12}
+# (levenshtein('strem','stream')=1 within the len-5 AUTO budget of 1);
+# the reusable API lives in omni_crawler_spark/search.py, these queries
+# are its oracle-paired instances over derived columns
 
 _TITLE_SQL = (
     "'Document ' || doc_id || "
@@ -125,6 +120,8 @@ def _authors_col():
     "budget by term length) — advanced_search.py:46-63",
 )
 def search_fulltext(spark, sf_dir):
+    from omni_crawler_spark import search as SE
+
     d = _t(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
@@ -134,41 +131,7 @@ def search_fulltext(spark, sf_dir):
         _authors_col().alias("authors"),
         F.col("source").alias("domain"),
     )
-    fields = docs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(fld).alias("fld"),
-                    F.lit(b10).alias("boost10"),
-                    F.col(fld).alias("val"),
-                )
-                for fld, b10 in BOOSTS10.items()
-            ])
-        ).alias("f"),
-    ).select("doc_id", "f.fld", "f.boost10", "f.val")
-    toks = fields.select(
-        "doc_id", "fld", "boost10",
-        F.explode(
-            F.array_distinct(F.split(F.lower("val"), WORD_SPLIT_RE))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
-    terms = spark.createDataFrame(FUZZY_TERMS, "term string, maxed int")
-    matched = (
-        toks.join(
-            F.broadcast(terms),
-            F.levenshtein(F.col("tok"), F.col("term")) <= F.col("maxed"),
-        )
-        .select("doc_id", "fld", "boost10", "term")
-        .distinct()
-    )
-    return (
-        matched.groupBy("doc_id")
-        .agg(F.round(F.sum("boost10").cast("double") / 10.0, 4).alias("score"))
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
-    )
+    return SE.multi_match(docs, "query strem", size=20)
 
 
 def _frag_sql(term: str) -> str:
@@ -179,15 +142,6 @@ def _frag_sql(term: str) -> str:
         f"replace(substr(lower(text), "
         f"greatest(1, strpos(lower(text), '{term}') - 60), 150), "
         f"'{term}', '<mark>{term}</mark>') END"
-    )
-
-
-def _frag_col(term: str):
-    lt = F.lower(F.col("text"))
-    pos = F.instr(lt, term)
-    frag = F.substring(lt, F.greatest(F.lit(1), pos - 60).cast("int"), 150)
-    return F.when(
-        pos > 0, F.replace(frag, F.lit(term), F.lit(f"<mark>{term}</mark>"))
     )
 
 
@@ -212,27 +166,14 @@ def _frag_col(term: str):
     "(advanced_search.py:118-128,222-233)",
 )
 def search_highlight(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    lt = F.lower(F.col("text"))
-    hit = (F.instr(lt, "query") > 0) | (F.instr(lt, "stream") > 0)
-    title_hl = F.replace(
-        F.replace(F.lower(_title_col()), F.lit("query"),
-                  F.lit("<mark>query</mark>")),
-        F.lit("stream"), F.lit("<mark>stream</mark>"),
-    )
-    preview = F.concat(
-        F.substring(
-            F.concat_ws("...", _frag_col("query"), _frag_col("stream")), 1, 300
-        ),
-        F.lit("..."),
+    from omni_crawler_spark import search as SE
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _title_col().alias("title"), F.col("text").alias("content")
     )
     return (
-        d.filter(hit)
-        .select(
-            "doc_id",
-            title_hl.alias("title_hl"),
-            preview.alias("content_preview"),
-        )
+        SE.highlight(d, ["query", "stream"])
+        .select("doc_id", "title_hl", "content_preview")
         .orderBy("doc_id")
         .limit(20)
     )

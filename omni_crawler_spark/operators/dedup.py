@@ -7,14 +7,16 @@ standard near-dup family. Scale notes per operator:
 
 - exact: hash-groupBy → one shuffle on a 64-hex key; at 10^10 rows
   pre-bucket by hash prefix so AQE coalesces balanced partitions.
-- MinHash+LSH: signature computation is embarrassingly parallel and
-  columnar (nested higher-order functions, no Python); the only
-  shuffle is the band-bucket self-join, whose output is bounded by
-  collision count, not n².
+- MinHash+LSH: vectorized numpy signatures (one matrix op per doc
+  inside an Arrow batch), band keys columnar, then ONE shuffle — a
+  groupBy per (band, bucket) with executor-side pair expansion gated
+  by ``max_bucket_size``; candidate output is bounded by collision
+  count, not n².
 - SimHash: vectorized pandas UDF (64 bit-planes don't express well
   as columns); near-dup = banded hamming join.
 - n-gram Jaccard: exact verify step for LSH candidates (or blocked
-  pairs at small scale).
+  pairs), computed by an Arrow-batched set kernel — Spark interprets
+  HOF lambdas, so array_intersect/array_union stay off the hot path.
 """
 
 from __future__ import annotations

@@ -1,0 +1,74 @@
+"""Full-text search API (omni_crawler_spark/search.py): multi_match
+boost/fuzziness semantics, highlight shaping, filter conditions."""
+
+from __future__ import annotations
+
+import pytest
+
+from omni_crawler_spark import search as SE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # (doc_id, title, content, key_phrases, authors, domain)
+        (1, "Market report", "the market is up", "market watch", "Ann Lee", "news.com"),
+        (2, "Daily notes", "nothing relevant here", "misc", "Bo Chan", "blog.net"),
+        (3, "About markets", "a marekt typo inside", "trade", "Cy Day", "news.com"),
+        (4, "Plain title", "market market market", "x", "Di Eve", "market.org"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, title string, content string, key_phrases string, "
+        "authors string, domain string",
+    ).cache()
+
+
+def test_auto_fuzziness_budgets():
+    assert SE.auto_max_edits("ab") == 0
+    assert SE.auto_max_edits("abc") == 1
+    assert SE.auto_max_edits("query") == 1
+    assert SE.auto_max_edits("stream") == 2
+
+
+def test_multi_match_boosts_and_fuzzy(docs):
+    res = {r.doc_id: r.score for r in SE.multi_match(docs, "market").collect()}
+    # doc1: title(3) + content(2) + key_phrases(2) = 7.0
+    assert res[1] == 7.0
+    # doc3: title 'markets' fuzzy-1 (3) + content 'marekt' fuzzy... len-6
+    # term 'market' has budget 2; levenshtein(marekt, market)=2 -> content
+    # matches too (2), total 5.0
+    assert res[3] == 5.0
+    # doc4: content(2) + domain 'market.org' tokenizes to 'market','org' (1.2)
+    assert res[4] == pytest.approx(3.2)
+    assert 2 not in res  # no term match anywhere
+    # term frequency does NOT inflate the score (doc4 has 'market' x3)
+    assert res[4] < res[1]
+
+
+def test_multi_match_or_semantics_multiterm(docs):
+    res = {
+        r.doc_id: r.score
+        for r in SE.multi_match(docs, "market relevant").collect()
+    }
+    # doc2 matches only 'relevant' in content -> 2.0
+    assert res[2] == 2.0
+
+
+def test_highlight_preview(docs):
+    out = {
+        r.doc_id: r
+        for r in SE.highlight(docs, ["market"]).collect()
+    }
+    assert set(out) == {1, 4}  # exact-term docs only (doc3 is a typo)
+    assert "<mark>market</mark>" in out[1].title_hl
+    assert out[1].content_preview.startswith("the <mark>market</mark> is up")
+    assert out[1].content_preview.endswith("...")
+
+
+def test_apply_filters(docs):
+    d = docs.withColumnsRenamed({})
+    f = SE.apply_filters(d, domains=["news.com"])
+    assert {r.doc_id for r in f.collect()} == {1, 3}
+    f2 = SE.apply_filters(d, domains=["news.com"], min_length=None)
+    assert f2.count() == 2
