@@ -288,6 +288,9 @@ class CrawlEngine:
                 fetched_now.filter(F.col("valid")).drop("cycle_id"),
                 op_id=f"{op}-articles",
             )
+            # periodic maintenance: bound merge-on-read amplification
+            if cycle_id % 8 == 0:
+                self.articles.compact(spark, op_id=f"{op}-compact")
 
         with ThreadPoolExecutor(max_workers=5) as pool:
             futures = [

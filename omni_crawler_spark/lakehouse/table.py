@@ -130,17 +130,20 @@ class SnapshotTable:
         version = self.current_version() + 1
         return self.append(df.withColumn("_v", F.lit(version)), op_id)
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(self, spark: SparkSession, op_id: str | None = None) -> int:
         """Rewrite the resolved view as a single snapshot (keyed
         tables only): bounds the per-read merge work after many
         upserts. Resolved rows keep their winning ``_v`` tags, so
-        reads before/after compaction are identical."""
+        reads before/after compaction are identical. ``op_id`` makes
+        maintenance crash-replay-idempotent like any other commit."""
         if self.key is None:
             raise ValueError(f"table {self.name} has no key")
+        if op_id is not None and op_id in self.committed_op_ids():
+            return self.current_version()
         resolved = self._resolve(self.read(spark, _resolve=False), keep_v=True)
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         resolved.write.mode("overwrite").parquet(new_dir)
-        return self._commit([new_dir], "compact", None)
+        return self._commit([new_dir], "compact", op_id)
 
     # -- reads ---------------------------------------------------------------
 
