@@ -192,9 +192,13 @@ class CrawlEngine:
         # Profiled: ~2 s serial → ~1 s overlapped per cycle.
         from concurrent.futures import ThreadPoolExecutor
 
-        fetched_now = self.fetched.read(spark).filter(
-            F.col("cycle_id") == cycle_id
-        )
+        # incremental read: exactly this cycle's commit (O(commit), no
+        # footer listing of prior cycles' dirs — at 10^3 cycles the
+        # read-everything-filter-cycle_id form scans the whole history
+        # per cycle). version_of() keeps it correct under crash-replay,
+        # where append() no-ops and current_version points elsewhere.
+        v_fetched = self.fetched.version_of(f"{op}-fetched")
+        fetched_now = self.fetched.read_delta(spark, v_fetched)
 
         def commit_seen() -> None:
             # every *attempted* URL becomes seen (success or not),

@@ -75,6 +75,14 @@ class SnapshotTable:
         return [self._read_manifest(int(f.split(".")[0]))
                 for f in self._snapshot_files()]
 
+    def version_of(self, op_id: str) -> int | None:
+        """Version committed under ``op_id`` (None if never committed)
+        — pairs with read_delta for replay-safe incremental reads."""
+        for m in self.history():
+            if m.get("op_id") == op_id:
+                return m["version"]
+        return None
+
     def committed_op_ids(self) -> set[str]:
         return {
             m.get("op_id")
@@ -158,6 +166,22 @@ class SnapshotTable:
             .drop("_rn")
         )
         return out if keep_v else out.drop("_v")
+
+    def read_delta(self, spark: SparkSession, version: int) -> DataFrame:
+        """Read ONLY the rows added by ``version`` (its new data dirs,
+        not the accumulated table) — the incremental-scan primitive:
+        a cycle that needs just-its-own commit reads O(commit), never
+        O(history), and no footer listing of prior dirs happens."""
+        cur = self._read_manifest(version)["data_dirs"]
+        prev = (
+            self._read_manifest(version - 1)["data_dirs"]
+            if version > 1
+            else []
+        )
+        delta = [d for d in cur if d not in set(prev)]
+        if not delta:
+            raise ValueError(f"version {version} added no data dirs")
+        return spark.read.parquet(*delta)
 
     def read(
         self,
