@@ -209,3 +209,67 @@ def sim_ivf_topk(spark, sf_dir):
     return I.ivf_topk(e, [0, 1, 2, 3, 4], cent, k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "sim_pq_topk",
+    None,
+    doc="product-quantization ANN (8-byte codes + asymmetric-distance "
+    "scoring + exact re-rank) — the third ANN scale path beside LSH and "
+    "IVF; at 10^10 vectors the codes table is 1/32 the corpus bytes. "
+    "recall>=0.8 vs exact asserted in tests/test_pq.py; operators/pq.py",
+)
+def sim_pq_topk(spark, sf_dir):
+    from omni_crawler_spark.operators import pq as PQ
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = PQ.train_codebooks(e, dim=64, n_sub=8, n_centroids=16)
+    return PQ.pq_topk(e, [0, 1, 2, 3, 4], books, k=5, rerank=32).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "dedup_cluster_cc",
+    """
+    WITH RECURSIVE
+    e1 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 4 < 2),
+    e2 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id + 10
+           WHERE a.doc_id % 20 = 0),
+    edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+    und AS (SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM und
+      UNION
+      SELECT u.dst, w.label FROM walk w JOIN und u ON u.src = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+    doc="duplicate-cluster connected components — iterative min-label "
+    "propagation over near-dup edges (operators/dedup.py::"
+    "duplicate_clusters), oracle = transitive-closure recursive CTE; "
+    "edges here are a deterministic synthetic pair graph (chains + "
+    "long-range merges) so the oracle is SQL-expressible",
+)
+def dedup_cluster_cc(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    e1 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.pmod(F.col("a.doc_id"), 4) < 2),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 10)
+        & (F.pmod(F.col("a.doc_id"), 20) == 0),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    clusters = D.duplicate_clusters(e1.unionAll(e2))
+    return clusters.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")

@@ -355,3 +355,65 @@ def simhash_candidates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: distributed connected components
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, cluster_id) for every node in the pair graph, where
+    cluster_id = MIN node id of its connected component — turns
+    pairwise near-dup edges into whole duplicate groups (the
+    keep-one-per-cluster superset of minhash_dedup's per-edge rule).
+
+    Algorithm: deterministic min-label propagation — each round every
+    node takes the min label among itself and its neighbors; converges
+    in O(diameter) rounds (near-dup components are small cliques, so
+    2-3 rounds in practice; ``max_iters`` bounds adversarial chains).
+    Each round is two shuffles (edge join + min aggregation) and the
+    label set is localCheckpoint'ed to truncate the iterative lineage.
+    At 10^10 edges you would switch to the large-star/small-star
+    variant (O(log n) rounds) — same join shapes.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        F.col("node"), F.col("label").alias("cluster_id")
+    )

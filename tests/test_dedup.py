@@ -107,3 +107,32 @@ def test_simhash_deterministic(corpus):
     b = {r.doc_id: r.sig for r in corpus.select(
         "doc_id", D.simhash64(F.col("text")).alias("sig")).collect()}
     assert a == b
+
+
+def test_duplicate_clusters_min_label(spark):
+    # two cliques sharing a bridge + an isolated pair + a 6-chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),          # triangle {1,2,3}
+         (3, 10), (10, 11),               # bridge -> {1,2,3,10,11}
+         (20, 21),                        # pair {20,21}
+         (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)],  # chain
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.cluster_id
+           for r in D.duplicate_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30, 34: 30, 35: 30,
+    }
+
+
+def test_duplicate_clusters_with_minhash_pipeline(corpus):
+    cand = D.minhash_lsh_candidates(corpus, "doc_id", "text", num_perm=32, bands=8)
+    dups = D.jaccard_verify(corpus, cand, "doc_id", "text", threshold=0.8)
+    clusters = {r.node: r.cluster_id
+                for r in D.duplicate_clusters(dups).collect()}
+    # the planted trio 100/101/102 forms one cluster rooted at 100
+    assert clusters.get(100) == 100
+    assert clusters.get(101) == 100
+    assert clusters.get(102) == 100
