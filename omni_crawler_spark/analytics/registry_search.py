@@ -177,3 +177,91 @@ def search_highlight(spark, sf_dir):
         .orderBy("doc_id")
         .limit(20)
     )
+
+
+@register(
+    "search_facets",
+    """
+    WITH sent AS (
+      SELECT doc_id,
+             CASE WHEN pos_hits + neg_hits = 0 THEN 'neutral'
+                  WHEN CAST(pos_hits - neg_hits AS DOUBLE)
+                       / (pos_hits + neg_hits) > 0.1 THEN 'positive'
+                  WHEN CAST(pos_hits - neg_hits AS DOUBLE)
+                       / (pos_hits + neg_hits) < -0.1 THEN 'negative'
+                  ELSE 'neutral' END AS label
+      FROM (SELECT doc_id,
+              len(list_filter(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9'']+'), x -> x <> ''),
+                  w -> w IN ('good','great','excellent','positive','success',
+                             'win','growth'))) AS pos_hits,
+              len(list_filter(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9'']+'), x -> x <> ''),
+                  w -> w IN ('bad','terrible','negative','failure','loss',
+                             'decline','crisis'))) AS neg_hits
+            FROM documents)
+    )
+    SELECT * FROM (
+      SELECT 'domains' AS facet, source AS key, COUNT(*) AS cnt
+      FROM documents GROUP BY source ORDER BY cnt DESC, key LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'categories', lang, COUNT(*) FROM documents
+      GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'sentiments', label, COUNT(*) FROM sent
+      GROUP BY label ORDER BY COUNT(*) DESC, label LIMIT 5)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'quality_ranges',
+             CASE WHEN n_chars < 150 THEN '0-50'
+                  WHEN n_chars < 300 THEN '50-70'
+                  WHEN n_chars < 400 THEN '70-85' ELSE '85-100' END,
+             COUNT(*) FROM documents GROUP BY 2)
+    ORDER BY facet, cnt DESC, key
+    """,
+    doc="A9/§3.3 — the full faceted-search response in one result: "
+    "domains top-10, categories top-10, sentiments top-5 (lexicon "
+    "labels), quality range buckets — the _get_aggregations + "
+    "_process_aggregations shape (advanced_search.py:151-181,235-248)",
+)
+def search_facets(spark, sf_dir):
+    from omni_crawler_spark.functions import enrich as E
+
+    d = _t(spark, sf_dir, "documents")
+
+    def topk(df, key_col, facet, k):
+        return (
+            df.groupBy(F.col(key_col).alias("key"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "key")
+            .limit(k)
+            .select(F.lit(facet).alias("facet"), "key", "cnt")
+        )
+
+    domains = topk(d, "source", "domains", 10)
+    categories = topk(d, "lang", "categories", 10)
+    polarity, _, _ = E.sentiment_lexicon(F.col("text"))
+    sentiments = topk(
+        d.select(E.sentiment_label(polarity).alias("label")),
+        "label", "sentiments", 5,
+    )
+    bucket = (
+        F.when(F.col("n_chars") < 150, "0-50")
+        .when(F.col("n_chars") < 300, "50-70")
+        .when(F.col("n_chars") < 400, "70-85")
+        .otherwise("85-100")
+    )
+    quality = (
+        d.select(bucket.alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("quality_ranges").alias("facet"), "key", "cnt")
+    )
+    return (
+        domains.unionByName(categories)
+        .unionByName(sentiments)
+        .unionByName(quality)
+        .orderBy("facet", F.desc("cnt"), "key")
+    )
