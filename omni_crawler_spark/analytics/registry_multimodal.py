@@ -97,3 +97,32 @@ def crawl_frontier_drain(spark, sf_dir):
             "title", "quality_score", "category", "word_count",
         )
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    None,
+    doc="image near-dup by pHash hamming distance (input_hint's phash "
+    "column): 4x16-bit banded blocking finds all pairs within "
+    "hamming<=8 without n² comparisons (operators/dedup.py::"
+    "hamming_near_dups, shared with SimHash); planted perturbed-image "
+    "recovery pytest-verified in tests/test_images.py",
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    from omni_crawler_spark.analytics.registry import ordered_small
+    from omni_crawler_spark.operators import dedup as D
+
+    imgs = M.generate_images_df(spark, 150, partitions=8).select(
+        "image_id", "phash"
+    )
+    # deterministic planted duplicates: exact copies of the first five
+    copies = imgs.filter(F.col("image_id") < "img_00000005").withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    )
+    both = imgs.unionByName(copies)
+    pairs = D.hamming_near_dups(
+        both.select("image_id", F.col("phash").alias("sig")),
+        "image_id",
+        max_hamming=8,
+    )
+    return ordered_small(pairs, "id_a", "id_b")

@@ -309,17 +309,18 @@ def hash_word(w: str) -> int:
     return h
 
 
-def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_near_dups(
+    sig: DataFrame, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    """All pairs with hamming(sig_a, sig_b) <= max_hamming over a
+    64-bit ``sig`` column — the shared blocking core of SimHash text
+    dedup and pHash image dedup.
 
-    Blocking: split the 64-bit signature into 4 16-bit bands — any
-    pair within hamming distance 3 must agree on at least one band
+    Blocking: split the signature into 4 16-bit bands — any pair
+    within hamming distance 3 must agree on at least one band
     (pigeonhole), so the self-join on (band_id, band_value) finds all
     of them without an n² comparison.
     """
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
     bands = sig.select(
         id_col,
         "sig",
@@ -355,6 +356,15 @@ def simhash_candidates(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup text pairs by SimHash hamming distance (banded
+    blocking via hamming_near_dups)."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    return hamming_near_dups(sig, id_col, max_hamming)
 
 
 # ---------------------------------------------------------------------------

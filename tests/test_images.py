@@ -114,3 +114,33 @@ def test_resize_block_mean_exact():
     nn = M._resize_rgb(px, 3, 3)
     assert nn.shape == (3, 3, 3)
     assert nn[0, 0, 0] == px[0, 0, 0]
+
+
+def test_phash_near_dup_banding_finds_perturbed_image(spark):
+    """A slightly perturbed image must be recovered by the banded
+    pHash hamming join (the image analog of SimHash dedup)."""
+    import numpy as np
+
+    from omni_crawler_spark.operators import dedup as D
+    from omni_crawler_spark.operators import multimodal as M2
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(80):
+        px, w, h, fmt = M2.reference_pixels(f"img_{i:08d}")
+        rows.append((f"img_{i:08d}", C.phash64(px)))
+    # planted: a +-2-intensity perturbation of image 0
+    px0, _, _, _ = M2.reference_pixels("img_00000000")
+    noisy = np.clip(
+        px0.astype(np.int16) + rng.integers(-2, 3, px0.shape), 0, 255
+    ).astype(np.uint8)
+    rows.append(("img_00000000_noisy", C.phash64(noisy)))
+    df = spark.createDataFrame(rows, "image_id string, sig long")
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_near_dups(df, "image_id", max_hamming=8).collect()
+    }
+    found = {(a, b) for a, b, _ in pairs}
+    assert ("img_00000000", "img_00000000_noisy") in found
+    # and no random-pair false positives at <=8/64 bits
+    assert all("img_00000000" in a or "img_00000000" in b for a, b in found)
