@@ -107,24 +107,41 @@ def sim_topk_cosine(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id + 100000 AS vec_id,
+                 list_transform(v, x -> 1.05*x + 0.01) AS v
+          FROM e WHERE vec_id < 25),
+    u AS (SELECT * FROM e UNION ALL SELECT * FROM p)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
                     * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v))
                    * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9
     ORDER BY id_a, id_b
     """,
     doc="embedding-cosine near-dup (exact all-pairs for the oracle; the "
-    "LSH-bucketed scale path is dedup_embedding_lsh, rows-only)",
+    "LSH-bucketed scale path is dedup_embedding_lsh). The corpus is the "
+    "embeddings table plus 25 planted near-duplicate twins (vec_id + "
+    "100000, elementwise 1.05·x + 0.01 perturbation → cosine ≈0.997 to the unit-norm base vector) "
+    "derived deterministically inside BOTH engines — the driver tables "
+    "contain no organic pairs above 0.52, so without the twins the "
+    "oracle would certify an empty comparison",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.05) + F.lit(0.01)).alias("v"),
+    )
+    u = e.unionByName(planted)
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
@@ -141,12 +158,22 @@ def dedup_embedding_cosine(spark, sf_dir):
     "bucketing with a max_bucket_size cap bounding the self-join "
     "(operators/similarity.py::embedding_near_dups); found-pairs parity "
     "vs the exact dedup_embedding_cosine asserted on planted duplicates "
-    "in tests/test_similarity.py",
+    "in tests/test_similarity.py. Runs over the same planted-twin "
+    "corpus as dedup_embedding_cosine so the recorded row count is "
+    "non-trivial (expected ~25 pairs at LSH recall ≈0.99, vs 0 organic)",
 )
 def dedup_embedding_lsh(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.05) + F.lit(0.01)).alias("embedding"),
+    )
+    u = e.unionByName(planted)
     return ordered_small(
-        S.embedding_near_dups(e, threshold=0.9), "id_a", "id_b"
+        S.embedding_near_dups(u, threshold=0.9), "id_a", "id_b"
     )
 
 
@@ -281,10 +308,20 @@ def dedup_cluster_cc(spark, sf_dir):
     doc="end-to-end embedding dedup: banded-LSH near-dup pairs → "
     "connected components → keep the min-id vector per duplicate "
     "cluster; composition of embedding_near_dups + duplicate_clusters "
-    "(each independently verified); emits kept-count + cluster stats",
+    "(each independently verified); emits kept-count + cluster stats. "
+    "Same planted-twin corpus as dedup_embedding_cosine (525 in → "
+    "~500 kept), so the recorded count demonstrates actual dedup work",
 )
 def dedup_embedding_pipeline(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.05) + F.lit(0.01)).alias("embedding"),
+    )
+    e = base.unionByName(planted)
     pairs = S.embedding_near_dups(e, threshold=0.9)
     clusters = D.duplicate_clusters(pairs)
     drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(

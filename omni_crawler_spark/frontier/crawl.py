@@ -15,7 +15,7 @@ every phase commit is atomic and idempotent (op_id = cycle+phase), so
 a crash anywhere during a cycle resumes by simply re-running the
 cycle — already-committed phases no-op, uncommitted ones recompute
 from the same deterministic inputs and produce identical bytes
-(asserted by tests/test_resume.py).
+(asserted by the resume tests in tests/test_frontier.py).
 
 Replaces the reference's run_single_cycle
 (src/orchestrator/omni_orchestrator.py:73-117): Redis seen-set → bloom
@@ -179,6 +179,7 @@ class CrawlEngine:
                 "title", "content", "caption", "image_id", "links", "word_count",
                 "content_length", "quality_score", "category", "priority",
                 "crawl_seq", "lane", "start_ms", "status", "valid",
+                "crawler_engine", "n_engine_attempts",
             ),
             op_id=f"{op}-fetched",
         )

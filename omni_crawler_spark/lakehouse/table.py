@@ -75,30 +75,50 @@ class SnapshotTable:
         return [self._read_manifest(int(f.split(".")[0]))
                 for f in self._snapshot_files()]
 
+    def _op_versions(self) -> dict[str, int]:
+        """{op_id: version} for every committed op, read from the
+        NEWEST manifest only — each commit chains the accumulated map
+        forward, so idempotency checks are O(1) manifest reads instead
+        of O(history) (with 6 tables × 5+ commits/cycle the per-commit
+        full-history rescan was O(cycles²) driver file I/O over a long
+        crawl). Manifests written before this field fall back to one
+        full history scan, after which the next commit materializes
+        the map."""
+        v = self.current_version()
+        if v == 0:
+            return {}
+        m = self._read_manifest(v)
+        ops = m.get("op_versions")
+        if ops is not None:
+            return ops
+        # legacy manifests: reconstruct once from full history
+        out: dict[str, int] = {}
+        for mm in self.history():
+            if mm.get("op_id") is not None:
+                out[mm["op_id"]] = mm["version"]
+        return out
+
     def version_of(self, op_id: str) -> int | None:
         """Version committed under ``op_id`` (None if never committed)
         — pairs with read_delta for replay-safe incremental reads."""
-        for m in self.history():
-            if m.get("op_id") == op_id:
-                return m["version"]
-        return None
+        return self._op_versions().get(op_id)
 
     def committed_op_ids(self) -> set[str]:
-        return {
-            m.get("op_id")
-            for m in self.history()
-            if m.get("op_id") is not None
-        }
+        return set(self._op_versions())
 
     # -- writes --------------------------------------------------------------
 
     def _commit(self, data_dirs: list[str], op: str, op_id: str | None) -> int:
         version = self.current_version() + 1
+        op_versions = self._op_versions()
+        if op_id is not None:
+            op_versions = {**op_versions, op_id: version}
         manifest = {
             "version": version,
             "op": op,
             "op_id": op_id,
             "data_dirs": data_dirs,
+            "op_versions": op_versions,
         }
         final = os.path.join(self.root, "snapshots", f"{version:08d}.json")
         tmp = final + f".tmp-{uuid.uuid4().hex}"

@@ -149,26 +149,42 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_perm // bands
     sig_udf = minhash_signature_udf(num_perm, shingle_k)
-    sig = df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    # signatures are the expensive stage (one numpy matmul per doc) —
+    # persist them so the size pre-pass and the bucket aggregation
+    # both read the cached (id, sig) rows instead of re-running the
+    # UDF; the cache is num_perm longs/doc, ~1/50 of the text bytes.
+    sig = df.select(
+        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
+    ).persist()
     banded = sig.select(
         id_col,
         F.explode(
             lsh_band_keys(F.col("sig"), bands, rows_per_band)
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.band_hash")
-    # ONE shuffle: group each band bucket, then expand pairs
-    # executor-side with a codegen'd double explode — cheaper than the
-    # previous (sizes groupBy + filter join + self-join) three-shuffle
-    # plan, and the expansion is bounded by max_bucket_size the moment
-    # the bucket is materialized.
+    # When the cap is set, oversized bucket KEYS are found first with
+    # a cheap count aggregation and removed by a broadcast anti-join
+    # BEFORE collect_list — so no agg buffer ever materializes a
+    # degenerate bucket's full id array (a boilerplate bucket at 10^10
+    # docs would otherwise build an unbounded array in one aggregation
+    # row). The oversized key set is tiny by construction (each key
+    # holds > max_bucket_size rows), hence the broadcast.
+    if max_bucket_size is not None:
+        oversized = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(
+            F.broadcast(oversized), ["band", "band_hash"], "left_anti"
+        )
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    return (
+    pairs = (
         buckets.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
         .select(
             "id_a",
@@ -179,7 +195,14 @@ def minhash_lsh_candidates(
             ).alias("id_b"),
         )
         .distinct()
+        # eager: the (collision-bounded) pair set is materialized here
+        # so the signature cache can be released before returning —
+        # no cached blocks outlive the call (repeated bench/pipeline
+        # invocations would otherwise accumulate them).
+        .localCheckpoint()
     )
+    sig.unpersist()
+    return pairs
 
 
 def jaccard_pair_udf(shingle_k: int = 5):
@@ -196,6 +219,11 @@ def jaccard_pair_udf(shingle_k: int = 5):
 
     Shingle semantics match ``char_shingles`` (and the DuckDB oracle):
     distinct k-grams of ``lower(text)``, indices 1..max(1, n-k+1).
+    NULL inputs yield NULL (a pair with a missing side is dropped by
+    the downstream ``>= threshold`` filter) — matching the replaced
+    ``array_intersect``/``array_union`` column plan, where a NULL text
+    propagated to a NULL jaccard. Without this, two NULL-content docs
+    would share the degenerate empty-string shingle set and score 1.0.
     """
 
     @pandas_udf(DoubleType())
@@ -205,7 +233,7 @@ def jaccard_pair_udf(shingle_k: int = 5):
         def shingles(t: str) -> frozenset:
             s = memo.get(t)
             if s is None:
-                tl = (t or "").lower()
+                tl = t.lower()
                 s = frozenset(
                     tl[i : i + shingle_k]
                     for i in range(max(1, len(tl) - shingle_k + 1))
@@ -214,7 +242,9 @@ def jaccard_pair_udf(shingle_k: int = 5):
             return s
 
         out = [
-            len((sa := shingles(a)) & (sb := shingles(b))) / len(sa | sb)
+            None
+            if a is None or b is None
+            else len((sa := shingles(a)) & (sb := shingles(b))) / len(sa | sb)
             for a, b in zip(ta, tb)
         ]
         return pd.Series(out, dtype="float64")
@@ -310,34 +340,65 @@ def hash_word(w: str) -> int:
 
 
 def hamming_near_dups(
-    sig: DataFrame, id_col: str, max_hamming: int = 3
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """All pairs with hamming(sig_a, sig_b) <= max_hamming over a
     64-bit ``sig`` column — the shared blocking core of SimHash text
     dedup and pHash image dedup.
 
-    Blocking: split the signature into 4 16-bit bands — any pair
-    within hamming distance 3 must agree on at least one band
-    (pigeonhole), so the self-join on (band_id, band_value) finds all
-    of them without an n² comparison.
+    Blocking: split the signature into ``n_bands`` contiguous bands —
+    a pair within hamming distance d can differ in at most d bands,
+    so with ``n_bands >= d+1`` (pigeonhole) it must agree on at least
+    one band, and the self-join on (band_id, band_value) finds every
+    such pair without an n² comparison. ``n_bands`` defaults to
+    ``max_hamming + 1`` (the minimum that guarantees full recall);
+    callers may raise it to shrink per-band widths further.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. the all-zeros
+    SimHash of empty/near-empty text, constant boilerplate bands)
+    BEFORE the self-join — one hot (band, val) bucket otherwise
+    expands to n² join rows. Size gating is a cheap count groupBy +
+    join, mirroring minhash_lsh_candidates/embedding_near_dups; pairs
+    inside a dropped bucket can still be found via their other bands.
     """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at "
+            f"max_hamming={max_hamming}: pigeonhole needs >= "
+            f"{max_hamming + 1} bands"
+        )
+    # variable-width contiguous bands covering all 64 bits
+    bounds = [(b * 64) // n_bands for b in range(n_bands + 1)]
+    band_structs = []
+    for b in range(n_bands):
+        lo, width = bounds[b], bounds[b + 1] - bounds[b]
+        mask = (1 << width) - 1
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
     bands = sig.select(
         id_col,
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*band_structs)).alias("bk"),
     ).select(id_col, "sig", "bk.band", "bk.val")
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "val").agg(F.count("*").alias("_n"))
+        bands = bands.join(
+            sizes.filter(F.col("_n") <= max_bucket_size), ["band", "val"]
+        ).drop("_n")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -359,12 +420,20 @@ def hamming_near_dups(
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup text pairs by SimHash hamming distance (banded
     blocking via hamming_near_dups)."""
     sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
-    return hamming_near_dups(sig, id_col, max_hamming)
+    return hamming_near_dups(
+        sig, id_col, max_hamming, n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -228,7 +228,13 @@ def embedding_near_dups(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        # eager: materialize the (collision-bounded) candidate pairs
+        # so the tagged cache is released before returning — repeated
+        # calls in one session (pipeline + lsh query in a bench run)
+        # must not accumulate cached blocks for the session lifetime.
+        .localCheckpoint()
     )
+    tagged.unpersist()
     va = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -109,6 +109,74 @@ def test_simhash_deterministic(corpus):
     assert a == b
 
 
+def test_hamming_recall_beyond_three_bits(spark):
+    """8 flipped bits spread one-per-byte touch ALL four 16-bit
+    quarters — the old fixed 4-band blocking missed such pairs at
+    max_hamming=8. The default n_bands = max_hamming+1 = 9 guarantees
+    one clean band by pigeonhole, so the pair must be found."""
+    base = 0x0123456789ABCDEF
+    other = base
+    for bit in (0, 8, 16, 24, 32, 40, 48, 56):
+        other ^= 1 << bit
+    sig = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, sig long"
+    )
+    pairs = D.hamming_near_dups(sig, "doc_id", max_hamming=8).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 8)]
+
+
+def test_hamming_band_count_validation():
+    # validation fires before any DataFrame work
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.hamming_near_dups(None, "doc_id", max_hamming=8, n_bands=4)
+
+
+def test_hamming_degenerate_bucket_capped(spark):
+    """1k identical signatures = one hot bucket per band → n² pairs
+    without the cap. With max_bucket_size the hot buckets are dropped
+    before the self-join: bounded cost, zero pairs (exact-hash dedup
+    owns identical content)."""
+    rows = [(i, 0) for i in range(1000)] + [(2000, 7), (2001, 7)]
+    sig = spark.createDataFrame(rows, "doc_id long, sig long")
+    pairs = D.hamming_near_dups(
+        sig, "doc_id", max_hamming=3, max_bucket_size=100
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the degenerate sig=0 clique is skipped; the small sig=7 bucket
+    # still pairs up (hamming 0 <= 3)
+    assert got == {(2000, 2001)}
+
+
+def test_jaccard_kernel_null_semantics(spark):
+    """NULL text on either side → NULL jaccard (dropped by the
+    threshold filter), matching the replaced column-expression plan —
+    two NULL docs must NOT score 1.0."""
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "abcdefgh", None), (3, "abcdefgh", "abcdefgh")],
+        "pair_id long, ta string, tb string",
+    )
+    got = {
+        r.pair_id: r.j
+        for r in df.select(
+            "pair_id", D.jaccard_pair_udf(5)("ta", "tb").alias("j")
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] == 1.0
+
+
+def test_minhash_degenerate_corpus_bounded(spark):
+    """1k identical texts collapse into one bucket per band; the
+    count-based pre-filter removes the oversized bucket keys before
+    collect_list, so no aggregation buffer holds the full id array and
+    the expansion yields nothing."""
+    rows = [(i, BASE) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = D.minhash_lsh_candidates(
+        df, "doc_id", "text", num_perm=32, bands=8, max_bucket_size=100
+    )
+    assert cand.count() == 0
+
+
 def test_duplicate_clusters_min_label(spark):
     # two cliques sharing a bridge + an isolated pair + a 6-chain
     pairs = spark.createDataFrame(

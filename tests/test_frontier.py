@@ -199,6 +199,20 @@ def test_lineage_partition_counts(crawl_outputs):
     assert agg.n_in >= agg.n_out
 
 
+def test_engine_telemetry_persisted(crawl_outputs):
+    """The multi-engine fallback telemetry (crawler_engine,
+    n_engine_attempts) must survive into the fetched table — it was
+    computed in process_page but dropped by the append select list."""
+    spark, eng = crawl_outputs
+    fetched = eng.fetched.read(spark)
+    assert {"crawler_engine", "n_engine_attempts"} <= set(fetched.columns)
+    engines = {
+        r.crawler_engine
+        for r in fetched.select("crawler_engine").distinct().collect()
+    }
+    assert engines and engines <= {"requests", "enhanced", "selenium"}
+
+
 def test_resume_idempotent_cycle(spark, tmp_path):
     """Re-running a committed cycle must be a no-op (crash-replay
     safety): same snapshot versions, same row counts."""

@@ -42,6 +42,52 @@ def test_read_empty_raises(spark, tmp_path):
         t.read(spark)
 
 
+def test_op_lookup_reads_one_manifest(spark, tmp_path):
+    """committed_op_ids/version_of read ONLY the newest manifest
+    (op_versions chains forward per commit) — the per-commit
+    full-history rescan was O(cycles²) driver I/O over a long crawl."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(0, 1)
+    for i in range(12):
+        t.append(df, op_id=f"op-{i}")
+    t2 = SnapshotTable(str(tmp_path / "t"))  # fresh instance, no warm state
+    reads: list[int] = []
+    orig = t2._read_manifest
+
+    def counting(version):
+        reads.append(version)
+        return orig(version)
+
+    t2._read_manifest = counting  # type: ignore[method-assign]
+    assert t2.committed_op_ids() == {f"op-{i}" for i in range(12)}
+    assert reads == [12]
+    reads.clear()
+    assert t2.version_of("op-7") == 8
+    assert reads == [12]
+
+
+def test_op_lookup_legacy_manifest_fallback(spark, tmp_path):
+    """Manifests written before op_versions existed are reconstructed
+    by one history scan; the next commit re-materializes the map."""
+    import json
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(0, 1)
+    t.append(df, op_id="op-a")
+    t.append(df, op_id="op-b")
+    # simulate a legacy newest manifest (no op_versions field)
+    newest = os.path.join(str(tmp_path / "t"), "snapshots", "00000002.json")
+    with open(newest) as fh:
+        m = json.load(fh)
+    del m["op_versions"]
+    with open(newest, "w") as fh:
+        json.dump(m, fh)
+    assert t.committed_op_ids() == {"op-a", "op-b"}
+    t.append(df, op_id="op-c")  # commit rebuilds the chained map
+    assert t.committed_op_ids() == {"op-a", "op-b", "op-c"}
+
+
 def _rows(t, spark):
     return {
         (r.url, r.quality) for r in t.read(spark).select("url", "quality").collect()

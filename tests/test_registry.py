@@ -40,3 +40,18 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_driver_window_covers_unchecked_queries():
+    """The correctness driver checks the FIRST 50 queries() entries
+    per round. Everything that had only local-mimic evidence through
+    round 2 must sit inside that window."""
+    from omni_crawler_spark.analytics import _DRIVER_WINDOW_PRIORITY
+
+    names = list(REGISTRY)
+    window = set(names[:50])
+    expected = [n for n in _DRIVER_WINDOW_PRIORITY if n in REGISTRY]
+    missing = [n for n in expected if n not in window]
+    assert not missing, f"outside the driver window: {missing}"
+    # and the priority prefix is exactly the head of the registry
+    assert names[: len(expected)] == expected
