@@ -134,6 +134,81 @@ def search_fulltext(spark, sf_dir):
     return SE.multi_match(docs, "query strem", size=20)
 
 
+# -- W6 sort dispatch (advanced_search.py:134-149) --------------------------
+# deterministic derived sort columns over documents: quality is a
+# multiplicative-hash score with ties (so the id tie-break is
+# exercised), processing_ts a minute-granular derived timestamp,
+# content_length = n_chars.
+
+_SORT_DOCS_SQL = """
+      SELECT doc_id,
+             (doc_id * 7919) % 100 AS quality_score,
+             TIMESTAMP '2025-06-01 00:00:00'
+               + ((doc_id * 53) % 1440) * INTERVAL 1 MINUTE AS processing_ts,
+             n_chars AS content_length
+      FROM documents
+"""
+
+
+def _sortable_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * 7919, F.lit(100)).alias("quality_score"),
+        (
+            F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+            + F.make_interval(
+                mins=F.pmod(F.col("doc_id") * 53, F.lit(1440)).cast("int")
+            )
+        ).alias("processing_ts"),
+        F.col("n_chars").alias("content_length"),
+    )
+
+
+@register(
+    "search_sorted_quality",
+    f"""
+    WITH docs AS ({_SORT_DOCS_SQL})
+    SELECT doc_id, quality_score, content_length
+    FROM docs ORDER BY quality_score DESC, doc_id LIMIT 20
+    """,
+    doc="W6 — parameterized sort dispatch, quality desc "
+    "(search.py::sort_results, advanced_search.py:134-149): top-k by "
+    "the quality sort config with a total-order id tie-break; the "
+    "limit makes the plan TakeOrderedAndProject, not a global sort",
+)
+def search_sorted_quality(spark, sf_dir):
+    from omni_crawler_spark import search as SE
+
+    docs = _sortable_docs(spark, sf_dir)
+    return SE.sort_results(docs, by="quality", ascending=False, size=20).select(
+        "doc_id", "quality_score", "content_length"
+    )
+
+
+@register(
+    "search_sorted_date",
+    f"""
+    WITH docs AS ({_SORT_DOCS_SQL})
+    SELECT doc_id, strftime(processing_ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           content_length
+    FROM docs ORDER BY processing_ts ASC, doc_id LIMIT 20
+    """,
+    doc="W6 — parameterized sort dispatch, date asc "
+    "(search.py::sort_results): the publish-date sort config of "
+    "advanced_search.py:134-149 with ascending order and id tie-break",
+)
+def search_sorted_date(spark, sf_dir):
+    from omni_crawler_spark import search as SE
+
+    docs = _sortable_docs(spark, sf_dir)
+    return SE.sort_results(docs, by="date", ascending=True, size=20).select(
+        "doc_id",
+        F.date_format("processing_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "content_length",
+    )
+
+
 def _frag_sql(term: str) -> str:
     """One <=150-char fragment centred on the first occurrence of
     ``term`` in lower(text), with every occurrence marked."""

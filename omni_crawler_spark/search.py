@@ -10,10 +10,19 @@ produces the <mark>-tagged fragments + content preview
 The registry queries search_fulltext / search_highlight are
 oracle-paired instances of these functions over derived columns.
 
-Scale shape: tokenization is a codegen'd split+explode; the fuzzy
-match is a broadcast join of the tiny term table; one per-doc
-aggregation ends the plan. At 100 TB put a bucketed inverted-index
-table (token → doc) in front and probe only rare terms fuzzily.
+Scale shape: ``multi_match`` probes an inverted index — tokenization
+is a codegen'd split+explode into distinct (token, doc, field)
+postings, query terms are fuzzy-expanded by Levenshtein against the
+DISTINCT-TOKEN VOCABULARY only (≪ corpus token occurrences, Heaps'
+law), and the expanded term set equi-joins back into the postings.
+The reference analog is ES's Lucene inverted index, which is what
+made advanced_search.py:46-63 cheap. At 100 TB, materialize
+``build_inverted_index`` once (bucketed by ``tok``) and pass it to
+``multi_match_indexed`` per query; the per-query cost is then one
+vocab-side fuzzy expansion + one bucket-pruned equi-join, never an
+edit-distance pass over corpus tokens (``multi_match_scan`` — the
+previous plan — is kept as the parity twin and measures exactly
+that anti-pattern).
 """
 
 from __future__ import annotations
@@ -39,6 +48,99 @@ def auto_max_edits(term: str) -> int:
     return 0 if n < 3 else 1 if n < 6 else 2
 
 
+def _parse_terms(docs: DataFrame, query: str, fuzziness: str | None):
+    terms = [
+        (t, auto_max_edits(t) if fuzziness == "AUTO" else 0)
+        for t in query.lower().split()
+        if t
+    ]
+    if not terms:
+        raise ValueError("empty query")
+    return docs.sparkSession.createDataFrame(terms, "term string, maxed int")
+
+
+def _resolve_fields(docs: DataFrame, fields: dict[str, int] | None):
+    return fields or {
+        k: v for k, v in DEFAULT_FIELDS.items() if k in docs.columns
+    }
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    fields: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Posting rows (tok, fld, boost10, <id_col>), distinct — the
+    token→doc inverted index. One codegen'd explode pass over the
+    corpus; no Python, no edit distance. At scale this is a persisted
+    table bucketed by ``tok`` (probes become bucket-pruned joins) and
+    maintained incrementally per crawl cycle."""
+    fields = _resolve_fields(docs, fields)
+    long = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(fld).alias("fld"),
+                    F.lit(b10).alias("boost10"),
+                    F.col(fld).cast("string").alias("val"),
+                )
+                for fld, b10 in fields.items()
+            ])
+        ).alias("f"),
+    ).select(id_col, "f.fld", "f.boost10", "f.val")
+    return (
+        long.select(
+            id_col, "fld", "boost10",
+            F.explode(
+                F.array_distinct(F.split(F.lower("val"), WORD_SPLIT_RE))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def expand_terms(index: DataFrame, term_df: DataFrame) -> DataFrame:
+    """(tok, term) pairs where an index token matches a query term
+    within its edit budget. The Levenshtein runs ONLY against the
+    distinct-token vocabulary — the one place the non-equi condition
+    survives; its cost is |vocab| × |terms|, independent of corpus
+    size. Exact terms (maxed=0) could skip it entirely via an
+    equi-probe, but AUTO gives every term of length >= 3 a nonzero
+    budget, so the split is not worth a second join."""
+    vocab = index.select("tok").distinct()
+    return vocab.join(
+        F.broadcast(term_df),
+        F.levenshtein(F.col("tok"), F.col("term")) <= F.col("maxed"),
+    ).select("tok", "term")
+
+
+def multi_match_indexed(
+    index: DataFrame,
+    term_df: DataFrame,
+    id_col: str = "doc_id",
+    size: int = 20,
+) -> DataFrame:
+    """Probe a prebuilt inverted index: fuzzy-expand the query terms
+    against the vocabulary, then one broadcast equi-join on ``tok``
+    into the postings — the corpus-sized side never sees an edit
+    distance."""
+    expansion = expand_terms(index, term_df)
+    matched = (
+        index.join(F.broadcast(expansion), "tok")
+        .select(id_col, "fld", "boost10", "term")
+        .distinct()
+    )
+    return (
+        matched.groupBy(id_col)
+        .agg(F.round(F.sum("boost10").cast("double") / 10.0, 4).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), id_col)
+        .limit(size)
+    )
+
+
 def multi_match(
     docs: DataFrame,
     query: str,
@@ -49,19 +151,30 @@ def multi_match(
 ) -> DataFrame:
     """(id, score) for documents matching ``query`` over the boosted
     ``fields`` ({column: boost×10}), operator-OR semantics: a field
-    scores its boost once per query term it (fuzzy-)matches."""
-    fields = fields or {
-        k: v for k, v in DEFAULT_FIELDS.items() if k in docs.columns
-    }
-    terms = [
-        (t, auto_max_edits(t) if fuzziness == "AUTO" else 0)
-        for t in query.lower().split()
-        if t
-    ]
-    if not terms:
-        raise ValueError("empty query")
-    spark = docs.sparkSession
-    term_df = spark.createDataFrame(terms, "term string, maxed int")
+    scores its boost once per query term it (fuzzy-)matches.
+    Builds the inverted index inline and probes it; results are
+    identical to ``multi_match_scan`` (pytest-pinned) with the
+    Levenshtein bounded to the vocabulary."""
+    index = build_inverted_index(docs, fields, id_col)
+    term_df = _parse_terms(docs, query, fuzziness)
+    return multi_match_indexed(index, term_df, id_col=id_col, size=size)
+
+
+def multi_match_scan(
+    docs: DataFrame,
+    query: str,
+    fields: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    fuzziness: str | None = "AUTO",
+    size: int = 20,
+) -> DataFrame:
+    """The pre-index plan: Levenshtein against EVERY distinct
+    (doc, field, token) row — linear in corpus tokens with the edit
+    distance as the dominant constant. Kept as the parity twin for
+    tests (multi_match must return exactly these rows) and as the
+    measured anti-pattern the inverted index removes."""
+    fields = _resolve_fields(docs, fields)
+    term_df = _parse_terms(docs, query, fuzziness)
     long = docs.select(
         F.col(id_col),
         F.explode(
@@ -147,6 +260,41 @@ def highlight(
         F.lit("..."),
     )
     return out.withColumn("content_preview", preview)
+
+
+# W6 sort-config dispatch (advanced_search.py:134-149): search-result
+# sort key → column. 'relevance' is ES _score (the multi_match score
+# column); the rest mirror the reference's sort_config dict.
+SORT_KEYS: dict[str, str] = {
+    "relevance": "score",
+    "quality": "quality_score",
+    "date": "processing_ts",
+    "length": "content_length",
+}
+
+
+def sort_results(
+    docs: DataFrame,
+    by: str = "relevance",
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    size: int | None = None,
+) -> DataFrame:
+    """Parameterized W6 sort dispatch — one entry point for the
+    relevance/quality/date/length × asc/desc sort configs of
+    advanced_search.py:134-149 (reference default: desc). The id
+    tie-break makes every order total, so paginated/limited results
+    are deterministic. With ``size`` the plan is a top-k
+    (TakeOrderedAndProject), not a global sort."""
+    try:
+        col = SORT_KEYS[by]
+    except KeyError:
+        raise ValueError(
+            f"unknown sort key {by!r}; expected one of {sorted(SORT_KEYS)}"
+        ) from None
+    key = F.asc(col) if ascending else F.desc(col)
+    out = docs.orderBy(key, F.asc(id_col))
+    return out.limit(size) if size is not None else out
 
 
 def apply_filters(

@@ -66,6 +66,58 @@ def test_highlight_preview(docs):
     assert out[1].content_preview.endswith("...")
 
 
+def test_indexed_probe_matches_scan_plan(docs):
+    """multi_match (inverted-index probe) must return exactly the
+    rows of the pre-index scan plan it replaced — same docs, same
+    scores, for exact, fuzzy, and multi-term queries."""
+    for q in ("market", "marekt", "market relevant", "xy market"):
+        fast = sorted(
+            (r.doc_id, r.score) for r in SE.multi_match(docs, q).collect()
+        )
+        slow = sorted(
+            (r.doc_id, r.score) for r in SE.multi_match_scan(docs, q).collect()
+        )
+        assert fast == slow, q
+
+
+def test_inverted_index_shape(docs):
+    idx = SE.build_inverted_index(docs)
+    assert set(idx.columns) == {"doc_id", "fld", "boost10", "tok"}
+    # postings are distinct: doc4's triple 'market' content is one row
+    n = idx.filter(
+        (idx.doc_id == 4) & (idx.fld == "content") & (idx.tok == "market")
+    ).count()
+    assert n == 1
+    # the fuzzy expansion runs over the vocabulary only
+    term_df = SE._parse_terms(docs, "marekt", "AUTO")
+    exp = {(r.tok, r.term) for r in SE.expand_terms(idx, term_df).collect()}
+    assert ("market", "marekt") in exp
+    assert all(t == "marekt" for _, t in exp)
+
+
+def test_sort_results_dispatch(spark):
+    rows = [
+        (1, 50, "2025-01-02 00:00:00", 100),
+        (2, 80, "2025-01-01 00:00:00", 300),
+        (3, 80, "2025-01-03 00:00:00", 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, quality_score long, processing_ts string, "
+        "content_length long"
+    )
+    by_q = [r.doc_id for r in SE.sort_results(df, by="quality").collect()]
+    assert by_q == [2, 3, 1]  # desc, id tie-break between 2 and 3
+    by_d = [
+        r.doc_id
+        for r in SE.sort_results(df, by="date", ascending=True).collect()
+    ]
+    assert by_d == [2, 1, 3]
+    by_l = [r.doc_id for r in SE.sort_results(df, by="length", size=2).collect()]
+    assert by_l == [2, 3]
+    with pytest.raises(ValueError, match="unknown sort key"):
+        SE.sort_results(df, by="nope")
+
+
 def test_apply_filters(docs):
     d = docs.withColumnsRenamed({})
     f = SE.apply_filters(d, domains=["news.com"])
