@@ -187,6 +187,27 @@ class SnapshotTable:
         )
         return out if keep_v else out.drop("_v")
 
+    def delta_bytes(self, version: int) -> int:
+        """Bytes written by ``version`` (the files of its NEW data
+        dirs) — the write-amplification gauge: an incremental append
+        reports the delta's bytes, an overwrite/compact reports the
+        full rewrite."""
+        cur = self._read_manifest(version)["data_dirs"]
+        prev = (
+            set(self._read_manifest(version - 1)["data_dirs"])
+            if version > 1
+            else set()
+        )
+        total = 0
+        for d in cur:
+            if d in prev:
+                continue
+            for root, _, files in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        return total
+
     def read_delta(self, spark: SparkSession, version: int) -> DataFrame:
         """Read ONLY the rows added by ``version`` (its new data dirs,
         not the accumulated table) — the incremental-scan primitive:

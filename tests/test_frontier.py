@@ -190,7 +190,7 @@ def test_seen_set_identical_to_reference(crawl_outputs, sim_outputs):
 
 def test_lineage_partition_counts(crawl_outputs):
     spark, eng = crawl_outputs
-    lin = eng.lineage.read(spark)
+    lin = eng.lineage.read(spark).filter(F.col("phase") == "fetch+validate")
     agg = lin.agg(
         F.sum("n_in").alias("n_in"), F.sum("n_out").alias("n_out")
     ).collect()[0]
@@ -211,6 +211,71 @@ def test_engine_telemetry_persisted(crawl_outputs):
         for r in fetched.select("crawler_engine").distinct().collect()
     }
     assert engines and engines <= {"requests", "enhanced", "selenium"}
+
+
+def _order_and_seen(spark, eng):
+    order = [
+        (r.cycle_id, r.start_ms, r.host, r.lane, r.crawl_seq, r.url_canonical)
+        for r in eng.fetched.read(spark)
+        .filter(F.col("valid"))
+        .orderBy("cycle_id", "start_ms", "host", "lane", "crawl_seq")
+        .collect()
+    ]
+    seen = {r.url_canonical for r in eng.seen.read(spark).collect()}
+    return order, seen
+
+
+def test_frontier_incremental_commits_equivalent(spark, tmp_path):
+    """The append-log frontier (compaction every 8th cycle) must
+    yield the same crawl order and seen set as the round-2
+    overwrite-every-cycle behavior (compact_every=1): liveness is
+    fully resolved on read (dedup + seen anti-join + robots filter),
+    so skipping the rewrite cannot change what gets scheduled."""
+    outs = []
+    for k in (1, 8):
+        eng = CrawlEngine(
+            str(tmp_path / f"wh{k}"),
+            cycle_budget_ms=4000,
+            frontier_compact_every=k,
+        )
+        eng.bootstrap(generate_seeds(spark, 500), generate_hosts(spark))
+        for c in (1, 2, 3):
+            eng.run_cycle(spark, c, collect_stats=False)
+        outs.append(_order_and_seen(spark, eng))
+    assert outs[0] == outs[1]
+
+
+def test_frontier_commit_bytes_scale_with_delta(spark, tmp_path):
+    """Per-cycle frontier write cost must scale with the cycle's
+    discovery delta, not the frontier size: with a big deferred
+    backlog (small budget, many seeds) an append cycle writes a small
+    fraction of the live frontier's bytes. The lineage table records
+    the same evidence per cycle (phase frontier-commit:*)."""
+    eng = CrawlEngine(
+        str(tmp_path / "wh"),
+        cycle_budget_ms=1500,
+        frontier_compact_every=1000,  # never compact during the test
+    )
+    eng.bootstrap(generate_seeds(spark, 3000), generate_hosts(spark))
+    s1 = eng.run_cycle(spark, 1, collect_stats=False)
+    s2 = eng.run_cycle(spark, 2, collect_stats=False)
+    assert s1["frontier_commit_op"] == "append"
+    assert s2["frontier_commit_op"] == "append"
+    # total bytes of the live frontier log vs the last delta
+    total = sum(
+        eng.frontier.delta_bytes(v)
+        for v in range(1, eng.frontier.current_version() + 1)
+    )
+    assert s2["frontier_commit_bytes"] < 0.5 * total
+    # lineage carries the per-cycle write-amplification rows
+    lin = {
+        (r.cycle_id, r.phase): r.n_out
+        for r in eng.lineage.read(spark)
+        .filter(F.col("phase").startswith("frontier-commit"))
+        .collect()
+    }
+    assert lin[(1, "frontier-commit:append")] == s1["frontier_commit_bytes"]
+    assert lin[(2, "frontier-commit:append")] == s2["frontier_commit_bytes"]
 
 
 def test_resume_idempotent_cycle(spark, tmp_path):
