@@ -34,8 +34,13 @@ def corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string").cache()
 
 
-def test_minhash_lsh_finds_planted_pairs(corpus):
-    cand = D.minhash_lsh_candidates(corpus, "doc_id", "text", num_perm=32, bands=8)
+@pytest.mark.parametrize("num_perm,bands", [(32, 8), (30, 5)])
+def test_minhash_lsh_finds_planted_pairs(corpus, num_perm, bands):
+    # (30, 5) is the registry/bench banding (S-curve centered ≈0.77,
+    # just under the 0.8 verify threshold); (32, 8) the legacy config
+    cand = D.minhash_lsh_candidates(
+        corpus, "doc_id", "text", num_perm=num_perm, bands=bands
+    )
     verified = D.jaccard_verify(corpus, cand, "doc_id", "text", threshold=0.8)
     pairs = {(r.id_a, r.id_b) for r in verified.collect()}
     assert (100, 101) in pairs
