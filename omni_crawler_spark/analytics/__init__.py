@@ -63,6 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # are skipped, so this list is safe against renames)
     "search_sorted_quality",
     "search_sorted_date",
+    "dedup_cluster_cc_star",
     # plan changed in round 3 (multi_match now probes the inverted
     # index) — keep inside the window so the driver re-verifies it
     "search_fulltext",

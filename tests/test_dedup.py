@@ -200,6 +200,46 @@ def test_duplicate_clusters_min_label(spark):
     }
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """large-star/small-star CC (O(log n) rounds) must produce the
+    exact labels of min-label propagation on cliques, bridges, long
+    chains (the propagation worst case), and a seeded random graph."""
+    import random
+
+    rng = random.Random(7)
+    graphs = {
+        "cliques+bridge": [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11),
+                           (20, 21)],
+        "long_chain": [(i, i + 1) for i in range(100, 164)],
+        "star_in": [(50, k) for k in range(51, 70)],
+        "random": [
+            (rng.randrange(0, 120), rng.randrange(0, 120)) for _ in range(150)
+        ],
+        "two_rings": [(i, (i + 1) % 10) for i in range(10)]
+        + [(100 + i, 100 + (i + 1) % 7) for i in range(7)],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        lp = {r.node: r.cluster_id
+              for r in D.duplicate_clusters(pairs, max_iters=200).collect()}
+        star = {r.node: r.cluster_id
+                for r in D.duplicate_clusters_star(pairs).collect()}
+        assert star == lp, name
+
+
+def test_star_contraction_round_count(spark):
+    """The point of star contraction: a 64-node chain converges in
+    O(log n) rounds, not O(n). Count rounds via the checksum loop by
+    instrumenting max_iters: the result at max_iters=12 must already
+    be the fixpoint (label propagation would need ~64 rounds)."""
+    edges = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.cluster_id
+           for r in D.duplicate_clusters_star(pairs, max_iters=12).collect()}
+    assert got == {n: 0 for n in range(65)}
+
+
 def test_duplicate_clusters_with_minhash_pipeline(corpus):
     cand = D.minhash_lsh_candidates(corpus, "doc_id", "text", num_perm=32, bands=8)
     dups = D.jaccard_verify(corpus, cand, "doc_id", "text", threshold=0.8)
