@@ -46,12 +46,14 @@ class CrawlEngine:
         num_buckets: int = B.DEFAULT_BUCKETS,
         cycle_budget_ms: int = 120_000,
         maintain_articles: bool = False,
+        maintain_index: bool = False,
         frontier_compact_every: int = 8,
     ):
         self.warehouse = warehouse
         self.num_buckets = num_buckets
         self.cycle_budget_ms = cycle_budget_ms
         self.maintain_articles = maintain_articles
+        self.maintain_index = maintain_index
         # frontier commits are O(delta) appends of each cycle's
         # discoveries; every Nth cycle rewrites the resolved live set
         # to bound the log scan. 1 = compact every cycle (the round-2
@@ -73,6 +75,12 @@ class CrawlEngine:
             os.path.join(warehouse, "articles"), "articles",
             key=["url_hash"], on_conflict="update",
         )
+        # full-text inverted index over crawled articles (the engine's
+        # ES replacement, SURVEY §3.3): posting rows appended per
+        # cycle from that cycle's valid fetches — O(delta) index
+        # maintenance, probed by search() via the vocabulary-bounded
+        # fuzzy expansion of omni_crawler_spark/search.py.
+        self.index = SnapshotTable(os.path.join(warehouse, "index"), "index")
 
     # ------------------------------------------------------------------ setup
 
@@ -216,6 +224,11 @@ class CrawlEngine:
                 .distinct(),
                 op_id=f"{op}-seen",
             )
+            # file compaction on the same cadence as the frontier:
+            # `seen` is read on EVERY cycle's anti-join, and one data
+            # dir per cycle makes that read list O(cycles) directories
+            if cycle_id % self.frontier_compact_every == 0:
+                self.seen.rewrite(spark, op_id=f"{op}-seen-rewrite")
 
         def commit_bloom() -> None:
             # fold this cycle's attempted keys into the persisted bloom
@@ -309,6 +322,22 @@ class CrawlEngine:
             )
             self.lineage.append(lineage_rows, op_id=f"{op}-lineage")
 
+        def commit_index() -> None:
+            # O(delta) inverted-index maintenance: postings for THIS
+            # cycle's valid articles only (url_hash is the doc key;
+            # re-crawled pages are resolved at probe time by keeping
+            # the newest cycle's postings per doc — see search()).
+            if not self.maintain_index:
+                return
+            from omni_crawler_spark.search import build_inverted_index
+
+            postings = build_inverted_index(
+                fetched_now.filter(F.col("valid")),
+                fields={"title": 30, "content": 20, "caption": 15},
+                id_col="url_hash",
+            ).withColumn("cycle_id", F.lit(cycle_id))
+            self.index.append(postings, op_id=f"{op}-index")
+
         def commit_articles() -> None:
             if not self.maintain_articles:
                 return
@@ -320,11 +349,11 @@ class CrawlEngine:
             if cycle_id % 8 == 0:
                 self.articles.compact(spark, op_id=f"{op}-compact")
 
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futures = [
                 pool.submit(fn)
                 for fn in (commit_seen, commit_bloom, commit_frontier,
-                           commit_lineage, commit_articles)
+                           commit_lineage, commit_articles, commit_index)
             ]
             for fut in futures:
                 fut.result()  # re-raise any commit failure
@@ -344,7 +373,9 @@ class CrawlEngine:
             spark.createDataFrame(
                 [(
                     -1,
-                    int(discovered.count()),
+                    # rows this commit wrote, from parquet footer
+                    # metadata — no Spark job for lineage accounting
+                    int(self.frontier.delta_rows(v_frontier)),
                     int(frontier_bytes),
                     0,
                     cycle_id,
@@ -404,3 +435,26 @@ class CrawlEngine:
 
     def seen_set(self, spark: SparkSession) -> DataFrame:
         return self.seen.read(spark).select("url_hash").distinct()
+
+    def search(
+        self, spark: SparkSession, query: str, size: int = 20
+    ) -> DataFrame:
+        """Full-text search over the crawled corpus via the
+        incrementally-maintained inverted index — the engine's ES
+        replacement (the reference's AdvancedSearchEngine queries the
+        ES index its storage layer maintains; here run_cycle appends
+        each cycle's postings and this probes them). Re-crawled docs
+        resolve to their NEWEST cycle's postings, so stale tokens
+        from an earlier fetch of the same URL never match. Requires
+        ``maintain_index=True``."""
+        from omni_crawler_spark import search as SE
+
+        idx = self.index.read(spark)
+        newest = idx.groupBy("url_hash").agg(
+            F.max("cycle_id").alias("cycle_id")
+        )
+        live = idx.join(newest, ["url_hash", "cycle_id"]).drop("cycle_id")
+        term_df = SE._parse_terms(idx, query, "AUTO")
+        return SE.multi_match_indexed(
+            live, term_df, id_col="url_hash", size=size
+        )

@@ -158,6 +158,19 @@ class SnapshotTable:
         version = self.current_version() + 1
         return self.append(df.withColumn("_v", F.lit(version)), op_id)
 
+    def rewrite(self, spark: SparkSession, op_id: str | None = None) -> int:
+        """File compaction for unkeyed tables: rewrite the current
+        rows as ONE data dir (same contents, new snapshot). Bounds
+        the per-read dir listing after many small appends — an
+        append-per-cycle table accumulates O(cycles) directories that
+        every reader must list and open. Time travel to prior
+        versions still works (old dirs are never deleted)."""
+        if op_id is not None and op_id in self.committed_op_ids():
+            return self.current_version()
+        new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        self.read(spark, _resolve=False).write.mode("overwrite").parquet(new_dir)
+        return self._commit([new_dir], "rewrite", op_id)
+
     def compact(self, spark: SparkSession, op_id: str | None = None) -> int:
         """Rewrite the resolved view as a single snapshot (keyed
         tables only): bounds the per-read merge work after many
@@ -205,6 +218,30 @@ class SnapshotTable:
             for root, _, files in os.walk(d):
                 total += sum(
                     os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        return total
+
+    def delta_rows(self, version: int) -> int:
+        """Row count of the files ``version`` added, from parquet
+        FOOTER METADATA (driver-side pyarrow read, no Spark job) —
+        lineage accounting shouldn't cost a cluster pass."""
+        import pyarrow.parquet as pq
+
+        cur = self._read_manifest(version)["data_dirs"]
+        prev = (
+            set(self._read_manifest(version - 1)["data_dirs"])
+            if version > 1
+            else set()
+        )
+        total = 0
+        for d in cur:
+            if d in prev:
+                continue
+            for root, _, files in os.walk(d):
+                total += sum(
+                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    for f in files
+                    if f.endswith(".parquet")
                 )
         return total
 

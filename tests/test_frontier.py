@@ -278,6 +278,45 @@ def test_frontier_commit_bytes_scale_with_delta(spark, tmp_path):
     assert lin[(2, "frontier-commit:append")] == s2["frontier_commit_bytes"]
 
 
+def test_incremental_index_matches_batch_and_searches(spark, tmp_path):
+    """run_cycle(maintain_index=True) appends each cycle's postings
+    (O(delta) index maintenance); the newest-cycle-per-doc resolve in
+    CrawlEngine.search must equal a batch index built over each
+    article's newest fetch — exercised through a re-crawl so stale
+    cycle-1 postings exist and must lose."""
+    from omni_crawler_spark import search as SE
+
+    eng = CrawlEngine(
+        str(tmp_path / "wh"), cycle_budget_ms=3000, maintain_index=True
+    )
+    eng.bootstrap(generate_seeds(spark, 300), generate_hosts(spark))
+    eng.run_cycle(spark, 1, collect_stats=False)
+    eng.reset_seen(spark, "recrawl")  # cycle 2 refetches (new content)
+    eng.run_cycle(spark, 2, collect_stats=False)
+
+    arts = eng.fetched.read(spark).filter(F.col("valid"))
+    newest_fetch = arts.groupBy("url_hash").agg(
+        F.max("cycle_id").alias("cycle_id")
+    )
+    latest_arts = arts.join(newest_fetch, ["url_hash", "cycle_id"])
+    batch = SE.build_inverted_index(
+        latest_arts,
+        fields={"title": 30, "content": 20, "caption": 15},
+        id_col="url_hash",
+    )
+    idx = eng.index.read(spark)
+    newest = idx.groupBy("url_hash").agg(F.max("cycle_id").alias("cycle_id"))
+    live = idx.join(newest, ["url_hash", "cycle_id"])
+    cols = ["url_hash", "fld", "boost10", "tok"]
+    assert {tuple(r) for r in live.select(*cols).collect()} == {
+        tuple(r) for r in batch.select(*cols).collect()
+    }
+    # the index actually serves queries (exact + fuzzy probe)
+    hits = eng.search(spark, "market").collect()
+    assert hits and all(r.score > 0 for r in hits)
+    assert eng.search(spark, "marekt").count() > 0  # fuzzy via vocab
+
+
 def test_resume_idempotent_cycle(spark, tmp_path):
     """Re-running a committed cycle must be a no-op (crash-replay
     safety): same snapshot versions, same row counts."""

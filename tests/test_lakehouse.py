@@ -42,6 +42,22 @@ def test_read_empty_raises(spark, tmp_path):
         t.read(spark)
 
 
+def test_rewrite_compacts_dirs_preserves_rows(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    for lo in (0, 5, 9):
+        t.append(spark.range(lo, lo + 3), op_id=f"a-{lo}")
+    v = t.current_version()
+    assert len(t._read_manifest(v)["data_dirs"]) == 3
+    before = sorted(r.id for r in t.read(spark).collect())
+    t.rewrite(spark, op_id="rw-1")
+    after_manifest = t._read_manifest(t.current_version())
+    assert len(after_manifest["data_dirs"]) == 1  # one dir now
+    assert sorted(r.id for r in t.read(spark).collect()) == before
+    assert t.read(spark, version=v).count() == len(before)  # time travel
+    t.rewrite(spark, op_id="rw-1")  # idempotent replay
+    assert after_manifest["version"] == t.current_version()
+
+
 def test_op_lookup_reads_one_manifest(spark, tmp_path):
     """committed_op_ids/version_of read ONLY the newest manifest
     (op_versions chains forward per commit) — the per-commit
