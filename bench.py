@@ -37,6 +37,7 @@ HEADLINE = [
     "window_moving_avg",
     "window_recent_100",
     "search_fulltext",
+    "search_sorted_quality",
     # training-data pipeline operators
     "dedup_exact_hash",
     "dedup_minhash_lsh",

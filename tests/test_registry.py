@@ -18,6 +18,11 @@ from omni_crawler_spark.analytics.tables import TABLE_NAMES
 def test_query_runs_and_matches_oracle(spark, sf_dir, name):
     q = REGISTRY[name]
     sdf = q.build(spark, sf_dir)
+    # physical-plan lint (north rule, tools/plan_lint.py): Python only
+    # Arrow-batched, cross joins only with a broadcast bounded side
+    from tools.plan_lint import lint
+
+    assert lint(sdf) == [], f"{name}: forbidden physical nodes"
     pdf = sdf.toPandas()
     assert pdf is not None
     if q.oracle is None:
