@@ -307,6 +307,111 @@ def dedup_cluster_cc(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "pipeline_training_data",
+    f"""
+    WITH planted_exact AS (
+      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id < 15
+    ),
+    planted_near AS (
+      SELECT doc_id + 200000 AS doc_id, text || ' the end' AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id < 15
+    ),
+    corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL SELECT * FROM planted_exact
+      UNION ALL SELECT * FROM planted_near
+    ),
+    gated AS (
+      SELECT *, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM corpus
+      WHERE n_chars >= 200 AND lang = 'en'
+        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 30
+    ),
+    exact AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, lang, n_chars, {_SHINGLES_SQL} AS sh FROM exact
+    ),
+    near_drops AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars
+       AND a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    ),
+    kept AS (
+      SELECT * FROM exact
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="END-TO-END training-data pipeline, fully oracle-paired: "
+    "quality gate (chars + whitespace-token floor) → language gate → "
+    "exact content-hash dedup (keep min id; operators/dedup.py::"
+    "exact_dedup) → blocked-Jaccard near-dup drop (the jaccard_verify "
+    "kernel over (lang, len) blocks, keep min id) → per-source doc + "
+    "token budget. 15 planted exact copies and 15 planted near-copies "
+    "(same length block, ' the end' suffix) must BOTH be removed for "
+    "the per-source counts to match the oracle — the driver verifies "
+    "every stage did its job, not just that the query ran",
+)
+def pipeline_training_data(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    planted_exact = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    planted_near = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" the end")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = d.unionByName(planted_exact).unionByName(planted_near)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    gated = corpus.withColumn("n_tokens", n_tokens).filter(
+        (F.col("n_chars") >= 200)
+        & (F.col("lang") == "en")
+        & (F.col("n_tokens") >= 30)
+    )
+    exact = D.exact_dedup(gated, "text", "doc_id")
+    a = exact.select("doc_id", "lang", "n_chars", "text").alias("a")
+    b = exact.select("doc_id", "lang", "n_chars", "text").alias("b")
+    jac = F.round(D.jaccard_pair_udf(5)(F.col("a.text"), F.col("b.text")), 4)
+    near_drops = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.join(near_drops, "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 _CC_ORACLE = """
     WITH RECURSIVE
     e1 AS (SELECT a.doc_id AS a, b.doc_id AS b FROM documents a

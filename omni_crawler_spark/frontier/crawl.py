@@ -336,7 +336,24 @@ class CrawlEngine:
                 fields={"title": 30, "content": 20, "caption": 15},
                 id_col="url_hash",
             ).withColumn("cycle_id", F.lit(cycle_id))
-            self.index.append(postings, op_id=f"{op}-index")
+            if (
+                cycle_id % self.frontier_compact_every == 0
+                and not self.index.is_empty()
+            ):
+                # compaction cadence: fold the resolved live postings
+                # (newest cycle per doc) + this cycle's into one
+                # snapshot — drops stale re-crawl postings and bounds
+                # the probe-time read, mirroring the frontier log
+                prev = self.index.read(spark)
+                newest = prev.groupBy("url_hash").agg(
+                    F.max("cycle_id").alias("cycle_id")
+                )
+                live_prev = prev.join(newest, ["url_hash", "cycle_id"])
+                self.index.overwrite(
+                    live_prev.unionByName(postings), op_id=f"{op}-index"
+                )
+            else:
+                self.index.append(postings, op_id=f"{op}-index")
 
         def commit_articles() -> None:
             if not self.maintain_articles:

@@ -83,7 +83,13 @@ class SnapshotTable:
         full-history rescan was O(cycles²) driver file I/O over a long
         crawl). Manifests written before this field fall back to one
         full history scan, after which the next commit materializes
-        the map."""
+        the map.
+
+        The map is O(total commits) per manifest; at very long
+        horizons (10^4+ commits) you'd bound it with snapshot
+        retention (expire manifests older than the replay window and
+        prune their op_ids with them — Iceberg's expire_snapshots
+        pattern; crash-replay only ever re-runs recent cycles)."""
         v = self.current_version()
         if v == 0:
             return {}

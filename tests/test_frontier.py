@@ -287,7 +287,9 @@ def test_incremental_index_matches_batch_and_searches(spark, tmp_path):
     from omni_crawler_spark import search as SE
 
     eng = CrawlEngine(
-        str(tmp_path / "wh"), cycle_budget_ms=3000, maintain_index=True
+        str(tmp_path / "wh"), cycle_budget_ms=3000, maintain_index=True,
+        frontier_compact_every=2,  # cycle 2 exercises EVERY compaction
+        # path: frontier overwrite, seen rewrite, index live-fold
     )
     eng.bootstrap(generate_seeds(spark, 300), generate_hosts(spark))
     eng.run_cycle(spark, 1, collect_stats=False)
