@@ -41,6 +41,7 @@ HEADLINE = [
     # training-data pipeline operators
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "pipeline_training_data",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "sim_topk_cosine",

@@ -385,7 +385,10 @@ def pipeline_training_data(spark, sf_dir):
         & (F.col("lang") == "en")
         & (F.col("n_tokens") >= 30)
     )
-    exact = D.exact_dedup(gated, "text", "doc_id")
+    # exact survivors feed THREE consumers (both self-join sides and
+    # the kept anti-join); materialize once instead of recomputing the
+    # scan→gate→dedup subtree per consumer
+    exact = D.exact_dedup(gated, "text", "doc_id").localCheckpoint()
     a = exact.select("doc_id", "lang", "n_chars", "text").alias("a")
     b = exact.select("doc_id", "lang", "n_chars", "text").alias("b")
     jac = F.round(D.jaccard_pair_udf(5)(F.col("a.text"), F.col("b.text")), 4)
