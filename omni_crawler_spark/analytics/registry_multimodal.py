@@ -71,6 +71,56 @@ def multimodal_resize(spark, sf_dir):
 
 
 @register(
+    "pipeline_multimodal",
+    None,
+    doc="END-TO-END image pipeline over the input_hint table shape: "
+    "pHash near-dup dedup FIRST on the stored metadata (hamming<=8, "
+    "9-band pigeonhole blocking — dropping copies before paying any "
+    "decode is the 100TB order), then decode+validate gate (allclose/"
+    "PSNR>=40dB), then deterministic 32x32 resize + feature "
+    "extraction; emits one summary row whose counts prove each stage "
+    "acted (155 in -> 150 deduped -> validated -> featurized). "
+    "Rows-only; stage invariants pytest-verified in tests/test_images.py",
+)
+def pipeline_multimodal(spark, sf_dir):
+    from omni_crawler_spark.analytics.registry import ordered_small  # noqa: F401
+    from omni_crawler_spark.operators import dedup as D
+
+    imgs = M.generate_images_df(spark, 150, partitions=8)
+    copies = imgs.filter(F.col("image_id") < "img_00000005").withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_copy"))
+    )
+    corpus = imgs.unionByName(copies)
+    pairs = D.hamming_near_dups(
+        corpus.select("image_id", F.col("phash").alias("sig")),
+        "image_id",
+        max_hamming=8,
+    )
+    drops = pairs.select(F.col("id_b").alias("image_id")).distinct()
+    deduped = corpus.join(drops, "image_id", "left_anti")
+    decoded = M.decode_validate(deduped)
+    valid_ids = decoded.filter(F.col("ok")).select("image_id")
+    gated = deduped.join(valid_ids, "image_id", "left_semi")
+    feats = M.image_features(M.resize_images(gated, 32, 32))
+    return (
+        corpus.agg(F.count("*").alias("n_in"))
+        .crossJoin(deduped.agg(F.count("*").alias("n_after_dedup")))
+        .crossJoin(valid_ids.agg(F.count("*").alias("n_valid")))
+        .crossJoin(
+            feats.agg(
+                F.count("*").alias("n_features"),
+                F.round(
+                    F.sum(F.col("mean_r").cast("decimal(27,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    2,
+                ).alias("avg_mean_r"),
+            )
+        )
+    )
+
+
+@register(
     "crawl_frontier_drain",
     None,
     doc="the flagship end-to-end pipeline (SURVEY §3.1): seeds → "

@@ -116,6 +116,20 @@ def test_resize_block_mean_exact():
     assert nn[0, 0, 0] == px[0, 0, 0]
 
 
+def test_pipeline_multimodal_stage_counts(spark, sf_dir):
+    """The end-to-end image pipeline's summary row proves each stage
+    acted: 5 planted copies dropped by pHash dedup BEFORE decode, all
+    150 survivors decode-valid, all featurized."""
+    from omni_crawler_spark.analytics import REGISTRY
+
+    row = REGISTRY["pipeline_multimodal"].build(spark, sf_dir).collect()[0]
+    assert row.n_in == 155
+    assert row.n_after_dedup == 150
+    assert row.n_valid == 150
+    assert row.n_features == 150
+    assert 0 < row.avg_mean_r < 255
+
+
 def test_phash_near_dup_banding_finds_perturbed_image(spark):
     """A slightly perturbed image must be recovered by the banded
     pHash hamming join (the image analog of SimHash dedup)."""
