@@ -66,6 +66,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_cluster_cc_star",
     "pipeline_training_data",
     "pipeline_multimodal",
+    "text_langid_ngram",
     # plan changed in round 3 (multi_match now probes the inverted
     # index) — keep inside the window so the driver re-verifies it
     "search_fulltext",

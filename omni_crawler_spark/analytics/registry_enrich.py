@@ -265,3 +265,111 @@ def text_token_count(spark, sf_dir):
             "chars_per_tok"
         ),
     ).orderBy("doc_id")
+
+
+# -- n-gram language identification (operators/langid.py) -------------------
+# The driver corpus is the same word-soup in every lang row, so a
+# deterministic per-language marker phrase is appended in BOTH engines
+# (the planted-twin pattern of dedup_embedding_cosine): profiles then
+# carry genuinely language-specific trigrams and the classifier has
+# real signal, while fit+predict remain bit-reproducible DataFrame/SQL.
+
+_LANG_MARKERS = {
+    "en": "the and for with",
+    "de": "der und die das",
+    "zh": "zhi shi zai bule",
+    "fr": "lela et les des",
+    "es": "el la de los las",
+}
+
+_MARKER_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _LANG_MARKERS.items()
+) + " ELSE '' END"
+
+_TRIGRAMS_SQL = (
+    "list_transform(generate_series(1, greatest(1, len(lower({c})) - 2)), "
+    "i -> substr(lower({c}), i, 3))"
+)
+
+
+@register(
+    "text_langid_ngram",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             text || ' ' || repeat({_MARKER_SQL} || ' ', 3) AS text
+      FROM documents
+    ),
+    tri_fit AS (
+      SELECT lang, unnest({_TRIGRAMS_SQL.format(c='text')}) AS tri
+      FROM aug WHERE doc_id % 5 < 4
+    ),
+    counts AS (SELECT lang, tri, COUNT(*) AS n FROM tri_fit GROUP BY lang, tri),
+    prof AS (
+      SELECT lang, tri, 65 - rank AS weight FROM (
+        SELECT lang, tri, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY n DESC, tri ASC) AS rank
+        FROM counts) WHERE rank <= 64
+    ),
+    test_tris AS (
+      SELECT doc_id, lang AS lang_true,
+             unnest(list_distinct({_TRIGRAMS_SQL.format(c='text')})) AS tri
+      FROM aug WHERE doc_id % 5 = 4
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang_true, p.lang AS cand,
+             CAST(SUM(p.weight) AS BIGINT) AS score
+      FROM test_tris t JOIN prof p USING (tri)
+      GROUP BY t.doc_id, t.lang_true, p.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, cand AS lang_pred FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT lang_true AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY lang_true ORDER BY lang
+    """,
+    doc="n-gram language ID (Cavnar-Trenkle rank profiles, "
+    "operators/langid.py): DISTRIBUTED fit (top-64 trigrams per lang, "
+    "two shuffles over the 80% train split) + predict (broadcast "
+    "profile join + argmax over the 20% test split), reported as a "
+    "per-language confusion summary. Upgrades the reference's "
+    "10-common-words heuristic (content_enricher.py:180-193, kept as "
+    "F13's exact twin); per-lang marker phrases are planted "
+    "identically in both engines because the driver corpus is "
+    "monolingual word-soup",
+)
+def text_langid_ngram(spark, sf_dir):
+    from omni_crawler_spark.operators import langid as L
+
+    d = _t(spark, sf_dir, "documents")
+    marker = F.lit("")
+    for k, v in reversed(_LANG_MARKERS.items()):
+        marker = F.when(F.col("lang") == k, F.lit(v)).otherwise(marker)
+    aug = d.select(
+        "doc_id", "lang",
+        F.concat(
+            "text", F.lit(" "), F.repeat(F.concat(marker, F.lit(" ")), 3)
+        ).alias("text"),
+    )
+    fit = aug.filter(F.pmod(F.col("doc_id"), F.lit(5)) < 4)
+    test = aug.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 4)
+    prof = L.fit_profiles(fit, k=64)
+    pred = L.predict(test, prof)
+    joined = pred.join(
+        test.select("doc_id", F.col("lang").alias("lang_true")), "doc_id"
+    )
+    return (
+        joined.groupBy(F.col("lang_true").alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("lang_pred") == F.col("lang_true")).cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("lang")
+    )

@@ -68,3 +68,38 @@ def test_key_phrases_bigram_fallback(spark):
     )
     row = df.select(N.key_phrases_udf()(F.col("text")).alias("p")).collect()[0]
     assert row.p[0] == "market growth"  # most frequent bigram first
+
+
+def test_langid_ngram_fit_predict(spark):
+    """Distributed Cavnar-Trenkle langid: profiles separate languages
+    with distinct character distributions; prediction is deterministic
+    (total-order tie-breaks) and exact on a separable corpus."""
+    from pyspark.sql import functions as F
+
+    from omni_crawler_spark.operators import langid as L
+
+    phrases = {
+        "aa": "zork blim quux fizzle",
+        "bb": "grunt wobble snark jent",
+        "cc": "plonk dree vast umber",
+    }
+    rows = []
+    for li, (lang, phrase) in enumerate(sorted(phrases.items())):
+        for i in range(20):
+            rows.append(
+                (li * 100 + i, lang,
+                 f"common shared words here {phrase} {phrase} tail {i}")
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    fit = docs.filter(F.pmod("doc_id", F.lit(5)) < 4)
+    test = docs.filter(F.pmod("doc_id", F.lit(5)) == 4)
+    prof = L.fit_profiles(fit, k=32)
+    # profile shape: exactly k rows per lang, weights k..1
+    sizes = {r.lang: r.n for r in
+             prof.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"aa": 32, "bb": 32, "cc": 32}
+    pred1 = {r.doc_id: r.lang_pred for r in L.predict(test, prof).collect()}
+    pred2 = {r.doc_id: r.lang_pred for r in L.predict(test, prof).collect()}
+    assert pred1 == pred2  # deterministic
+    truth = {r.doc_id: r.lang for r in test.collect()}
+    assert pred1 == truth  # separable corpus -> exact
