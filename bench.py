@@ -26,6 +26,7 @@ from omni_crawler_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     # scan/agg/join analytics (SURVEY §2.4-2.5)
     "tpch_q1_pricing",
+    "tpch_q5_local_supplier",
     "agg_domain_topn",
     "agg_pivot_daily_type",
     "agg_word_topk",

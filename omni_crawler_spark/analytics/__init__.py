@@ -67,6 +67,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_training_data",
     "pipeline_multimodal",
     "text_langid_ngram",
+    "tpch_q5_local_supplier",
     # plan changed in round 3 (multi_match now probes the inverted
     # index) — keep inside the window so the driver re-verifies it
     "search_fulltext",

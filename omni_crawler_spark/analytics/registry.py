@@ -487,8 +487,65 @@ def set_union(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Bench headline: TPC-H Q1-style pricing summary over lineitem
+# Bench headline: TPC-H Q1/Q5-style analytics over the sales tables
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape — local-supplier revenue by nation: the classic "
+    "mixed join (two big-fact shuffle joins lineitem⋈orders⋈customer + "
+    "three broadcast dims supplier/nation/region, with the "
+    "c_nationkey=s_nationkey locality condition), date-range filter "
+    "pushed to the orders scan, Q1's exact int64 fixed-point revenue "
+    "sum. At 100 TB the fact⋈fact joins shuffle on the natural "
+    "bucketing keys (orderkey/custkey); everything else broadcasts.",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((F.sum(rev_i).cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
 
 
 @register(
