@@ -68,6 +68,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_multimodal",
     "text_langid_ngram",
     "tpch_q5_local_supplier",
+    "text_embed_ann",
     # plan changed in round 3 (multi_match now probes the inverted
     # index) — keep inside the window so the driver re-verifies it
     "search_fulltext",

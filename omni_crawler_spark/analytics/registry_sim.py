@@ -308,6 +308,36 @@ def dedup_cluster_cc(spark, sf_dir):
 
 
 @register(
+    "text_embed_ann",
+    None,
+    doc="text → embedding → ANN end-to-end with NO model: hashing-trick "
+    "trigram embeddings (operators/embed.py, Arrow-vectorized, "
+    "deterministic) over documents plus 5 planted near-copies "
+    "('+ tiny tail'), then exact cosine top-3 for the planted queries — "
+    "each copy must retrieve its original as the nearest neighbor "
+    "(pytest-pinned in tests/test_similarity.py). Bridges the raw-text "
+    "corpus into the embedding operator family (LSH/IVF/PQ/dedup) "
+    "when no model-served vectors exist",
+)
+def text_embed_ann(spark, sf_dir):
+    from omni_crawler_spark.operators.embed import hash_embed_udf
+
+    emb = hash_embed_udf(dim=64)
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("vec_id"), emb(F.col("text")).alias("embedding")
+    )
+    planted = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("vec_id"),
+        emb(F.concat("text", F.lit(" tiny tail"))).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return S.cosine_topk(
+        corpus, query_ids=[100000, 100001, 100002, 100003, 100004], k=3
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "pipeline_training_data",
     f"""
     WITH planted_exact AS (

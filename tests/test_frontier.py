@@ -319,6 +319,45 @@ def test_incremental_index_matches_batch_and_searches(spark, tmp_path):
     assert eng.search(spark, "marekt").count() > 0  # fuzzy via vocab
 
 
+def test_resume_after_partial_derived_commit_crash(spark, tmp_path):
+    """Crash INSIDE the concurrent derived-commit fan-out: some
+    commits land, one fails, the cycle raises. Re-running the same
+    cycle must complete exactly the missing commits (idempotent
+    op_ids) and end byte-identical to a never-crashed engine."""
+    seeds, hosts = generate_seeds(spark, 400), generate_hosts(spark)
+
+    eng = CrawlEngine(str(tmp_path / "wh"), cycle_budget_ms=BUDGET_MS)
+    eng.bootstrap(seeds, hosts)
+    real_append = eng.lineage.append
+    calls = {"n": 0}
+
+    def exploding_append(df, op_id=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash: lineage commit")
+        return real_append(df, op_id=op_id)
+
+    eng.lineage.append = exploding_append  # type: ignore[method-assign]
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.run_cycle(spark, 1)
+    # partial state: fetched/plan landed, lineage did not
+    assert eng.fetched.current_version() > 0
+    assert eng.lineage.is_empty()
+    eng.lineage.append = real_append  # type: ignore[method-assign]
+    eng.run_cycle(spark, 1)  # replay completes the cycle
+
+    ref = CrawlEngine(str(tmp_path / "ref"), cycle_budget_ms=BUDGET_MS)
+    ref.bootstrap(seeds, hosts)
+    ref.run_cycle(spark, 1)
+    assert _order_and_seen(spark, eng) == _order_and_seen(spark, ref)
+    assert eng.fetched.read(spark).count() == ref.fetched.read(spark).count()
+    lin = lambda e: sorted(  # noqa: E731
+        (r.phase, r.n_in, r.n_out)
+        for r in e.lineage.read(spark).collect()
+    )
+    assert lin(eng) == lin(ref)
+
+
 def test_resume_idempotent_cycle(spark, tmp_path):
     """Re-running a committed cycle must be a no-op (crash-replay
     safety): same snapshot versions, same row counts."""

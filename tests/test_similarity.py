@@ -106,3 +106,42 @@ def test_embedding_near_dups_bucket_cap_bounds_degenerate(spark):
     )
     # capped: the 500-member buckets are dropped → no pairs, bounded cost
     assert got.count() == 0
+
+
+def test_hash_embed_retrieves_planted_copy(spark):
+    """Hashing-trick embeddings (operators/embed.py): a near-copy
+    ('+ tiny tail') must retrieve its original as the top-1 cosine
+    neighbor; embeddings are deterministic and unit-norm."""
+    from pyspark.sql import functions as F
+
+    from omni_crawler_spark.operators import similarity as S
+    from omni_crawler_spark.operators.embed import hash_embed_udf
+
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"tok{k}" for k in range(300)]
+    rows = [(i, " ".join(rng.sample(vocab, 50))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hash_embed_udf(dim=64)
+    base = docs.select(
+        F.col("doc_id").alias("vec_id"), emb(F.col("text")).alias("embedding")
+    )
+    planted = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1000).alias("vec_id"),
+        emb(F.concat("text", F.lit(" tiny tail"))).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    top = S.cosine_topk(corpus, query_ids=[1000, 1001, 1002], k=1)
+    got = {r.query_id: (r.neighbor_id, r.sim) for r in top.collect()}
+    for q in (1000, 1001, 1002):
+        nid, sim = got[q]
+        assert nid == q - 1000 and sim > 0.9
+    # determinism + unit norm
+    a = {r.vec_id: tuple(r.embedding) for r in base.collect()}
+    b = {r.vec_id: tuple(r.embedding) for r in base.collect()}
+    assert a == b
+    import math
+
+    for v in a.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
