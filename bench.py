@@ -51,6 +51,10 @@ HEADLINE = [
     "search_bm25",
     "sample_stratified",
     "graph_pagerank",
+    "window_topk_salted",
+    "join_bucketed_colocated",
+    "layout_partition_prune",
+    "tpch_q3_shipping",
     "enrich_doc_profile",
     "text_token_count",
     "multimodal_decode_validate",

@@ -12,6 +12,7 @@ from omni_crawler_spark.analytics import registry_enrich as _enrich  # noqa: F40
 from omni_crawler_spark.analytics import registry_extra as _extra  # noqa: F401
 from omni_crawler_spark.analytics import registry_multimodal as _mm  # noqa: F401
 from omni_crawler_spark.analytics import registry_phrases as _ph  # noqa: F401
+from omni_crawler_spark.analytics import registry_scale as _scale  # noqa: F401
 from omni_crawler_spark.analytics import registry_search as _search  # noqa: F401
 from omni_crawler_spark.analytics import registry_sim as _sim  # noqa: F401
 from omni_crawler_spark.analytics import registry_sources as _src  # noqa: F401
@@ -75,6 +76,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "sample_stratified",
     "graph_pagerank",
     "corpus_quantiles",
+    "window_topk_salted",
+    "join_bucketed_colocated",
+    "layout_partition_prune",
+    "tpch_q3_shipping",
     # plan changed in round 3 (multi_match now probes the inverted
     # index) — keep inside the window so the driver re-verifies it
     "search_fulltext",
