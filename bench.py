@@ -53,6 +53,7 @@ HEADLINE = [
     "graph_pagerank",
     "window_topk_salted",
     "join_bucketed_colocated",
+    "dedup_incremental_batch",
     "layout_partition_prune",
     "tpch_q3_shipping",
     "enrich_doc_profile",

@@ -432,3 +432,60 @@ def corpus_quantiles(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch-vs-corpus near-dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    None,  # rows-only: MinHash estimates are not SQL-expressible;
+    # planted-copy recall + idempotent replay + probe-plan shape are
+    # pinned in tests/test_dedup_incremental.py
+    doc="incremental near-dedup of a NEW batch against a persisted "
+    "corpus MinHash index (operators/dedup_incremental.py) — the "
+    "every-cycle shape: signatures computed for the batch only, the "
+    "corpus probed via a BroadcastHashJoin (batch keys broadcast, "
+    "index streamed, zero index shuffle), verification by signature "
+    "agreement so no old text is ever fetched, survivors appended "
+    "under an idempotent op_id. Cost is O(batch), never O(corpus) — "
+    "vs the one-shot operators that re-sign the world each run. Here: "
+    "corpus = doc_id%4!=0, batch = the rest + 45 planted copies "
+    "(doc_id+200000) which must all drop. shingle_k=14 (~2.5 words) "
+    "because this corpus's tiny vocabulary makes 5-byte-gram SETS "
+    "near-identical across unrelated docs (measured organic jaccard "
+    "0.97 at k=5 vs 0.0 at k=14 — the planted near-dup cliques "
+    "{0,50,82},{8,12},{89,114} survive at any k)",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    import tempfile
+
+    from omni_crawler_spark.operators.dedup_incremental import MinHashIndex
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    planted = corpus.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 4 == 0).unionByName(planted)
+    ix = MinHashIndex(
+        tempfile.mkdtemp(prefix="ocs_mhidx_"), shingle_k=14, threshold=0.9
+    )
+    ix.bootstrap(spark, corpus, "doc_id", "text", op_id="bootstrap")
+    kept, dropped = ix.dedup_batch(
+        spark, batch, "doc_id", "text", op_id="batch1"
+    )
+    out = kept.select(
+        "doc_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("long").alias("dup_of"),
+    ).unionByName(
+        dropped.select(
+            F.col("new_id").alias("doc_id"),
+            F.lit("dropped").alias("status"),
+            "dup_of",
+        )
+    )
+    return ordered_small(out, "doc_id")
