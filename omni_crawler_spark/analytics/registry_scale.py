@@ -102,12 +102,27 @@ def _bucketed_table(spark, sf_dir, name: str, key: str):
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     tbl = f"ocs_b_{tag}_{name}"
     path = f"{_BUCKET_ROOT}/{tag}/{name}"
-    if not (
-        spark.catalog.tableExists(tbl)
-        and os.path.isdir(path)
-        and any(f.endswith(".parquet") for f in os.listdir(path))
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    have_files = os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    if spark.catalog.tableExists(tbl) and have_files:
+        return spark.table(tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if have_files:
+        # files survive from an earlier session but the in-memory
+        # catalog forgot the table — re-register the existing layout
+        # instead of re-paying the ingest shuffle (Spark's bucketed
+        # file names carry the bucket id, so the metadata is sound)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in _t(spark, sf_dir, name).schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    else:
         (
             _t(spark, sf_dir, name)
             .write.mode("overwrite")
@@ -186,16 +201,32 @@ def layout_partition_prune(spark, sf_dir):
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     tbl = f"ocs_p_{tag}_events"
     path = f"{_PRUNE_ROOT}/{tag}/events"
-    if not (spark.catalog.tableExists(tbl) and os.path.isdir(path)):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        (
-            _t(spark, sf_dir, "events")
-            .withColumn("event_date", F.to_date("ts"))
-            .write.mode("overwrite")
-            .option("path", path)
-            .partitionBy("event_date")
-            .saveAsTable(tbl)
-        )
+    have_files = os.path.isdir(path) and any(
+        d.startswith("event_date=") for d in os.listdir(path)
+    )
+    if not spark.catalog.tableExists(tbl):
+        if have_files:
+            # re-register the surviving hive layout (see
+            # _bucketed_table) and recover its partition entries
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in _t(spark, sf_dir, "events").schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}, event_date date) "
+                f"USING parquet PARTITIONED BY (event_date) "
+                f"LOCATION '{path}'"
+            )
+            spark.catalog.recoverPartitions(tbl)
+        else:
+            (
+                _t(spark, sf_dir, "events")
+                .withColumn("event_date", F.to_date("ts"))
+                .write.mode("overwrite")
+                .option("path", path)
+                .partitionBy("event_date")
+                .saveAsTable(tbl)
+            )
     return (
         spark.table(tbl)
         .filter(F.col("event_date") == F.lit(_PRUNE_DAY).cast("date"))

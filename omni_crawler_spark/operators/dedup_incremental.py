@@ -116,6 +116,10 @@ class MinHashIndex:
                 ),
                 ["band", "band_hash"],
             )
+            # a doc is never a dup of itself — also makes replaying a
+            # batch whose survivors were already indexed return the
+            # same verdicts (their index rows match only themselves)
+            .filter(F.col("old_id") != F.col("new_id"))
             .select(
                 "new_id",
                 "old_id",
