@@ -79,3 +79,59 @@ def dedup_within_watermark(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    kept_dir: str,
+    schema: str = "doc_id long, text string",
+    shingle_k: int = 14,
+    threshold: float = 0.9,
+) -> StreamingQuery:
+    """Streaming near-dedup: every micro-batch of arriving documents
+    is deduped against the persisted corpus MinHash index
+    (operators/dedup_incremental.py) and the survivors land in
+    ``kept_dir`` — the continuous form of the crawler's per-cycle
+    dedup stage.
+
+    Exactly-once composition: Structured Streaming's checkpoint
+    guarantees each file is assigned to one ``batch_id``, and the
+    index append is tagged ``op_id=f"stream-{batch_id}"`` — a
+    replayed micro-batch (post-crash restart) recomputes identical
+    verdicts (deterministic signatures + the index's self-match
+    filter) and its re-append no-ops on the committed op_id. Same
+    contract as the batch engine's cycle commits (frontier/crawl.py).
+
+    The survivors sink is idempotent per batch for the same reason:
+    overwrite into a per-batch subdirectory keyed by batch_id.
+    """
+    from omni_crawler_spark.operators.dedup_incremental import MinHashIndex
+
+    index = MinHashIndex(
+        index_root, shingle_k=shingle_k, threshold=threshold
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        kept, _dropped = index.dedup_batch(
+            batch_df.sparkSession,
+            batch_df,
+            "doc_id",
+            "text",
+            op_id=f"stream-{batch_id}",
+        )
+        kept.write.mode("overwrite").parquet(
+            f"{kept_dir}/batch_id={batch_id}"
+        )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(docs_dir)
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
