@@ -330,71 +330,39 @@ def _pagerank_oracle() -> str:
     "reduction is order-independent across partitionings/engines",
 )
 def graph_pagerank(spark, sf_dir):
+    # the fixed-iteration kernel lives in operators/graph.py (shared
+    # with the host-ranking frontier-priority path); this query wires
+    # it to the deterministic synthetic link graph and the oracle
+    from omni_crawler_spark.operators.graph import pagerank
+
     d = _t(spark, sf_dir, "documents")
-    nodes = d.select("doc_id")
-    # scalar corpus size, broadcast — same pattern as W3's keyset page
-    s = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nodes = d.select(F.col("doc_id").alias("id"))
     n_long = nodes.agg(F.count(F.lit(1)).alias("n_mod"))
     edges = (
         nodes.crossJoin(F.broadcast(n_long))
         .select(
-            "doc_id",
+            "id",
             F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
             "n_mod",
         )
         .select(
-            F.col("doc_id").alias("src"),
+            F.col("id").alias("src"),
             (
-                (F.col("doc_id") * F.col("doc_id") * 7 + 13 * F.col("k") + 1)
+                (F.col("id") * F.col("id") * 7 + 13 * F.col("k") + 1)
                 % F.col("n_mod")
             ).alias("dst"),
         )
         .distinct()
     )
-    outdeg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
-    )
-    ranks = nodes.crossJoin(F.broadcast(s)).select(
-        "doc_id", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
-    # (src, dst, outdeg) is loop-invariant: checkpoint once so every
-    # iteration re-reads materialized blocks instead of re-planning
-    # the scan+distinct+agg lineage 5x; ranks are checkpointed per
-    # iteration to keep the plan depth O(1) (the dedup_cluster_cc
-    # pattern — Catalyst planning blows up superlinearly otherwise)
-    contrib_src = edges.join(outdeg, "src").localCheckpoint()
-    for _ in range(_PR_ITERS):
-        contrib = (
-            contrib_src.join(
-                ranks.withColumnRenamed("doc_id", "src"), "src"
-            )
-            .groupBy("dst")
-            .agg(
-                F.sum(
-                    (F.col("rank") / F.col("outdeg")).cast("decimal(27,18)")
-                )
-                .cast("double")
-                .alias("inflow")
-            )
+    ranks = pagerank(nodes, edges, iters=_PR_ITERS, damping=_PR_D)
+    return (
+        ranks.select(
+            F.col("id").alias("doc_id"),
+            F.round("rank", 6).alias("pagerank"),
         )
-        ranks = (
-            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
-            .crossJoin(F.broadcast(s))
-            .select(
-                "doc_id",
-                (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(_PR_D) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    out = (
-        ranks.select("doc_id", F.round("rank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "doc_id")
         .limit(25)
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
