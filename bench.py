@@ -54,6 +54,7 @@ HEADLINE = [
     "window_topk_salted",
     "join_bucketed_colocated",
     "dedup_incremental_batch",
+    "corpus_chunk_windows",
     "layout_partition_prune",
     "tpch_q3_shipping",
     "enrich_doc_profile",

@@ -79,6 +79,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_topk_salted",
     "join_bucketed_colocated",
     "dedup_incremental_batch",
+    "corpus_chunk_windows",
     "layout_partition_prune",
     "tpch_q3_shipping",
     # plan changed in round 3 (multi_match now probes the inverted

@@ -460,3 +460,88 @@ def dedup_incremental_batch(spark, sf_dir):
         )
     )
     return ordered_small(out, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window sequence chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # words per training window
+_CHUNK_STRIDE = 48  # overlap 16 words between consecutive windows
+
+
+@register(
+    "corpus_chunk_windows",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_words,
+             unnest(generate_series(
+               0, GREATEST((n_words - 1) // {_CHUNK_STRIDE}, 0))) AS k
+      FROM w
+    )
+    SELECT c.doc_id, c.k AS chunk_id,
+           LEAST({_CHUNK_W}, c.n_words - c.k * {_CHUNK_STRIDE})
+             AS chunk_len,
+           md5(array_to_string(
+             w.words[c.k * {_CHUNK_STRIDE} + 1 :
+                     c.k * {_CHUNK_STRIDE} + {_CHUNK_W}], ' ')) AS chunk_md5
+    FROM c JOIN w USING (doc_id)
+    WHERE c.k * {_CHUNK_STRIDE} < c.n_words
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="fixed-window sequence chunking — the tokenize-and-window "
+    f"stage before training: {_CHUNK_W}-word windows at stride "
+    f"{_CHUNK_STRIDE} (16-word overlap so no boundary context is "
+    "lost), trailing partial window kept with its true length. "
+    "Chunk content is verified cross-engine by md5 of the joined "
+    "window (not just counts). 100 TB shape: pure per-row "
+    "codegen'd expressions (split/sequence/transform/explode), "
+    "embarrassingly parallel, zero shuffle before the (small) "
+    "ordered output — the chunker never moves corpus bytes",
+)
+def corpus_chunk_windows(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    c = w.select(
+        "doc_id",
+        "n_words",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    ((F.col("n_words") - 1) / _CHUNK_STRIDE).cast("long"),
+                    F.lit(0),
+                ),
+            )
+        ).alias("k"),
+    ).filter(F.col("k") * _CHUNK_STRIDE < F.col("n_words"))
+    return (
+        c.select(
+            "doc_id",
+            F.col("k").alias("chunk_id"),
+            F.least(
+                F.lit(_CHUNK_W),
+                F.col("n_words") - F.col("k") * _CHUNK_STRIDE,
+            ).alias("chunk_len"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "words",
+                        F.col("k") * _CHUNK_STRIDE + 1,
+                        F.lit(_CHUNK_W),
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
