@@ -99,11 +99,21 @@ def _bucketed_table(spark, sf_dir, name: str, key: str):
     exchange-free. At 100 TB the ingest shuffle amortizes across every
     downstream join/agg on the same key.
     """
+    import json
+
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     tbl = f"ocs_b_{tag}_{name}"
     path = f"{_BUCKET_ROOT}/{tag}/{name}"
-    have_files = os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
+    # layout-spec marker: files written under a different bucket spec
+    # must NOT be re-registered under this one — Spark trusts the
+    # declared bucketing, so a mismatch silently mis-joins
+    spec = {"n_buckets": _N_BUCKETS, "key": key}
+    marker = f"{path}/_layout_spec.json"
+    have_files = (
+        os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
+        and os.path.isfile(marker)
+        and json.load(open(marker)) == spec
     )
     if spark.catalog.tableExists(tbl) and have_files:
         return spark.table(tbl)
@@ -131,6 +141,8 @@ def _bucketed_table(spark, sf_dir, name: str, key: str):
             .sortBy(key)
             .saveAsTable(tbl)
         )
+        with open(marker, "w") as fh:
+            json.dump(spec, fh)
     return spark.table(tbl)
 
 

@@ -60,6 +60,30 @@ class MinHashIndex:
     ):
         assert num_perm % bands == 0
         self.table = SnapshotTable(root, name="minhash_index")
+        # signature-parameter marker: an index holds signatures under
+        # ONE (num_perm, shingle_k, bands) config; opening an existing
+        # root with different params would silently mix incomparable
+        # signatures, so fail loudly instead
+        import json
+        import os
+
+        params = {
+            "num_perm": num_perm,
+            "shingle_k": shingle_k,
+            "bands": bands,
+        }
+        marker = os.path.join(root, "signature_params.json")
+        if os.path.isfile(marker):
+            existing = json.load(open(marker))
+            if existing != params:
+                raise ValueError(
+                    f"index at {root} was built with {existing}, "
+                    f"requested {params} — use a new root or matching "
+                    "parameters"
+                )
+        else:
+            with open(marker, "w") as fh:
+                json.dump(params, fh)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
         self.bands = bands
@@ -167,11 +191,14 @@ class MinHashIndex:
         broadcast, index streamed — ZERO shuffle of index bytes,
         pinned by tests/test_dedup_incremental.py); intra-batch pairs
         use the same capped banding as the one-shot operator. The
-        batch's banded rows are localCheckpointed once and reused by
-        the probe, the intra pass, and the final append — the
-        signature UDF runs exactly once per batch doc.
+        batch's banded rows are persisted once and reused by the
+        probe, the intra pass, and the final append (the signature
+        UDF runs exactly once per batch doc), then unpersisted before
+        returning — no cached blocks outlive the call (``dropped`` is
+        eagerly localCheckpointed first and is collision-bounded
+        small; ``kept`` depends only on ``batch`` + ``dropped``).
         """
-        b = self.banded(batch, id_col, text_col).localCheckpoint()
+        b = self.banded(batch, id_col, text_col).persist()
 
         # drop degenerate (boilerplate) buckets within the batch
         if self.max_bucket_size is not None:
@@ -252,4 +279,5 @@ class MinHashIndex:
             "left_anti",
         )
         self.table.append(kept_banded, op_id=op_id)
+        b.unpersist()
         return kept, dropped

@@ -100,3 +100,13 @@ def test_cross_probe_is_broadcast_no_index_shuffle(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(band" not in plan
+
+
+def test_index_rejects_mismatched_signature_params(spark):
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="mhidx_m_")
+    MinHashIndex(root, shingle_k=14)
+    with pytest.raises(ValueError, match="built with"):
+        MinHashIndex(root, shingle_k=5)
+    MinHashIndex(root, shingle_k=14)  # matching params reopen fine

@@ -107,3 +107,27 @@ def test_q3_pushes_date_filters_to_scan(spark):
     assert "GreaterThan(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
     assert "IsNotNull(c_mktsegment" in plan or "EqualTo(c_mktsegment" in plan
+
+
+def test_bucketed_layout_spec_mismatch_triggers_rewrite(spark):
+    """Existing files under a DIFFERENT bucket spec must be rewritten,
+    not re-registered (a wrong declared spec silently mis-joins)."""
+    import json
+    import os
+
+    from omni_crawler_spark.analytics import registry_scale as RS
+
+    li_count = RS._bucketed_table(spark, SF, "lineitem", "l_orderkey").count()
+    tag = SF.strip("/").replace("/", "_").replace(".", "_")
+    path = f"{RS._BUCKET_ROOT}/{tag}/lineitem"
+    marker = f"{path}/_layout_spec.json"
+    assert json.load(open(marker)) == {
+        "n_buckets": RS._N_BUCKETS,
+        "key": "l_orderkey",
+    }
+    # corrupt the spec -> next call must rewrite (marker restored)
+    json.dump({"n_buckets": 99, "key": "x"}, open(marker, "w"))
+    spark.sql(f"DROP TABLE IF EXISTS ocs_b_{tag}_lineitem")
+    li2 = RS._bucketed_table(spark, SF, "lineitem", "l_orderkey")
+    assert json.load(open(marker))["n_buckets"] == RS._N_BUCKETS
+    assert li2.count() == li_count
