@@ -161,6 +161,15 @@ class MinHashIndex:
 
     # -- index lifecycle -----------------------------------------------------
 
+    def compact(self, spark: SparkSession, op_id: str | None = None) -> int:
+        """Fold the append-per-batch data dirs into one snapshot
+        (SnapshotTable.rewrite): an index appended to every cycle
+        accumulates O(cycles) directories that every probe must list
+        and open — the same read-amplification bound as the frontier
+        log's periodic compaction (frontier/crawl.py). Idempotent
+        under ``op_id``; time travel to prior versions still works."""
+        return self.table.rewrite(spark, op_id=op_id)
+
     def bootstrap(
         self,
         spark: SparkSession,

@@ -90,6 +90,7 @@ def streaming_incremental_dedup(
     schema: str = "doc_id long, text string",
     shingle_k: int = 14,
     threshold: float = 0.9,
+    compact_every: int = 16,
 ) -> StreamingQuery:
     """Streaming near-dedup: every micro-batch of arriving documents
     is deduped against the persisted corpus MinHash index
@@ -125,6 +126,13 @@ def streaming_incremental_dedup(
         kept.write.mode("overwrite").parquet(
             f"{kept_dir}/batch_id={batch_id}"
         )
+        # bound probe-side read amplification: fold the O(batches)
+        # append dirs into one snapshot on a fixed cadence (idempotent
+        # op_id — a replayed compaction batch no-ops)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(
+                batch_df.sparkSession, op_id=f"compact-{batch_id}"
+            )
 
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"

@@ -110,3 +110,43 @@ def test_index_rejects_mismatched_signature_params(spark):
     with pytest.raises(ValueError, match="built with"):
         MinHashIndex(root, shingle_k=5)
     MinHashIndex(root, shingle_k=14)  # matching params reopen fine
+
+
+def test_compaction_bounds_dirs_and_preserves_probe(spark):
+    """Append-per-batch dirs fold into one snapshot; probe verdicts
+    before/after compaction are identical."""
+    d = _docs(spark)
+    ix = MinHashIndex(
+        tempfile.mkdtemp(prefix="mhidx_c_"), shingle_k=14, threshold=0.9
+    )
+    for i in range(4):
+        lo, hi = i * 50, i * 50 + 50
+        ix.dedup_batch(
+            spark,
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            "doc_id",
+            "text",
+            op_id=f"b{i}",
+        )
+    manifest = ix.table.history()[-1]
+    assert len(manifest["data_dirs"]) == 4
+    probe = d.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    before = {
+        (r.new_id, r.dup_of)
+        for r in ix._cross_probe(
+            spark, ix.banded(probe, "doc_id", "text")
+        ).collect()
+    }
+    ix.compact(spark, op_id="compact-1")
+    assert len(ix.table.history()[-1]["data_dirs"]) == 1
+    ix.compact(spark, op_id="compact-1")  # replay no-ops
+    assert len(ix.table.history()[-1]["data_dirs"]) == 1
+    after = {
+        (r.new_id, r.dup_of)
+        for r in ix._cross_probe(
+            spark, ix.banded(probe, "doc_id", "text")
+        ).collect()
+    }
+    assert before == after and len(before) > 0

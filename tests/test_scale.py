@@ -131,3 +131,47 @@ def test_bucketed_layout_spec_mismatch_triggers_rewrite(spark):
     li2 = RS._bucketed_table(spark, SF, "lineitem", "l_orderkey")
     assert json.load(open(marker))["n_buckets"] == RS._N_BUCKETS
     assert li2.count() == li_count
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's AQE config must actually split a skewed join at
+    runtime: 90%-hot-key join planned as SMJ shows skew=true in the
+    final adaptive plan (this is the safety net behind every shuffled
+    join in the registry when a key goes Zipf at 100 TB)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        right = spark.range(50_000).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("tag"),
+        )
+        j = big.join(right, "k").groupBy().count()
+        j.collect()  # finalize the adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
