@@ -94,11 +94,17 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in each query's nprobe
     nearest cells. The candidate join is an equi-join on cell —
-    shuffle bounded by probed cells, never the whole corpus."""
-    indexed = ivf_index(embeddings, centroids, vec_col)
+    shuffle bounded by probed cells, never the whole corpus.
+
+    Pass ``indexed`` (rows already carrying ``cell``, e.g. from a
+    persisted :class:`IVFIndex`) to skip the assignment pass — the
+    production path, where assignment was paid at ingest."""
+    if indexed is None:
+        indexed = ivf_index(embeddings, centroids, vec_col)
     q_rows = indexed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     ).collect()
@@ -129,3 +135,99 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.col("rnk").alias("rank"), "sim")
     )
+
+
+class IVFIndex:
+    """Persisted IVF index: centroids trained once, assignments
+    appended in O(batch) — the similarity-search twin of the
+    incremental dedup index (operators/dedup_incremental.py).
+
+    Layout under ``root``: ``centroids.npy`` (tiny, written once,
+    atomic rename) + a SnapshotTable of (id, embedding, cell) rows.
+    New batches are assigned with the FROZEN centroids (one broadcast
+    matmul per Arrow batch, no corpus re-read); searches probe the
+    persisted assignments, so query cost is independent of how many
+    batches built the index. Centroid drift at 10^10-vector horizons
+    is handled the way production IVF systems do: retrain offline
+    into a NEW root, cut over, never mutate in place.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        n_cells: int = 16,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        import os
+
+        from omni_crawler_spark.lakehouse.table import SnapshotTable
+
+        self.root = root
+        self.table = SnapshotTable(root, name="ivf_assignments")
+        self.n_cells = n_cells
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._cent_path = os.path.join(root, "centroids.npy")
+        self._centroids: np.ndarray | None = None
+
+    def _load_centroids(self) -> np.ndarray:
+        if self._centroids is None:
+            self._centroids = np.load(self._cent_path)
+        return self._centroids
+
+    def bootstrap(
+        self, spark, corpus: DataFrame, op_id: str | None = None
+    ) -> None:
+        """Train centroids (once — an existing centroid file wins, so
+        replays and later sessions reuse the frozen ones) and index
+        the corpus."""
+        import os
+        import uuid
+
+        if not os.path.isfile(self._cent_path):
+            cent = train_centroids(
+                corpus,
+                n_cells=self.n_cells,
+                dim=self.dim,
+                vec_col=self.vec_col,
+                id_col=self.id_col,
+            )
+            tmp = f"{self._cent_path}.tmp-{uuid.uuid4().hex}"
+            np.save(tmp, cent)
+            os.replace(tmp + ".npy" if not tmp.endswith(".npy") else tmp,
+                       self._cent_path)
+        self.add_batch(spark, corpus, op_id=op_id)
+
+    def add_batch(
+        self, spark, batch: DataFrame, op_id: str | None = None
+    ) -> None:
+        """Assign with the frozen centroids and append — O(batch)."""
+        self.table.append(
+            ivf_index(batch, self._load_centroids(), self.vec_col).select(
+                self.id_col, self.vec_col, "cell"
+            ),
+            op_id=op_id,
+        )
+
+    def search(
+        self, spark, query_ids: list[int], k: int = 5, nprobe: int = 4
+    ) -> DataFrame:
+        indexed = self.table.read(spark)
+        return ivf_topk(
+            indexed,
+            query_ids,
+            self._load_centroids(),
+            k=k,
+            nprobe=nprobe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            indexed=indexed,
+        )
+
+    def compact(self, spark, op_id: str | None = None) -> int:
+        """Fold append-per-batch dirs into one snapshot (read-amp
+        bound, same cadence policy as the dedup index)."""
+        return self.table.rewrite(spark, op_id=op_id)

@@ -51,3 +51,43 @@ def test_ivf_recall_vs_exact(embeddings):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall  # clustered data → high recall at nprobe=2
+
+
+def test_persisted_index_incremental_equals_oneshot(spark, embeddings):
+    """Split ingestion over a persisted index returns the same
+    results as one-shot ivf_topk with the same centroids: frozen
+    centroids make assignment batch-invariant."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ivfidx_")
+    ix = I.IVFIndex(root, n_cells=8, dim=16)
+    first = embeddings.filter(F.col("vec_id") < 200)
+    rest = embeddings.filter(F.col("vec_id") >= 200)
+    ix.bootstrap(spark, first, op_id="boot")
+    v = ix.table.current_version()
+    ix.bootstrap(spark, first, op_id="boot")  # replay no-ops
+    assert ix.table.current_version() == v
+    ix.add_batch(spark, rest, op_id="b1")
+
+    qids = [0, 1, 2, 3]
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ix.search(spark, qids, k=5, nprobe=2).collect()
+    }
+    cent = ix._load_centroids()
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in I.ivf_topk(
+            embeddings, qids, cent, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want
+
+    # compaction folds dirs and preserves search results
+    ix.compact(spark, op_id="c1")
+    assert len(ix.table.history()[-1]["data_dirs"]) == 1
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ix.search(spark, qids, k=5, nprobe=2).collect()
+    }
+    assert after == got
