@@ -55,6 +55,7 @@ HEADLINE = [
     "join_bucketed_colocated",
     "dedup_incremental_batch",
     "corpus_chunk_windows",
+    "sim_ivf_incremental",
     "layout_partition_prune",
     "tpch_q3_shipping",
     "enrich_doc_profile",

@@ -80,6 +80,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_bucketed_colocated",
     "dedup_incremental_batch",
     "corpus_chunk_windows",
+    "sim_ivf_incremental",
     "layout_partition_prune",
     "tpch_q3_shipping",
     # plan changed in round 3 (multi_match now probes the inverted

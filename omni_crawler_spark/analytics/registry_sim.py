@@ -523,3 +523,30 @@ def dedup_embedding_pipeline(spark, sf_dir):
     )
     kept = e.join(drop, "vec_id", "left_anti")
     return kept.agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "sim_ivf_incremental",
+    None,  # rows-only: ANN results aren't SQL; split-ingestion ≡
+    # one-shot equivalence + replay idempotency pinned in tests/test_ivf.py
+    doc="IVF top-k over the PERSISTED incremental index "
+    "(operators/ivf.py::IVFIndex): centroids trained once and frozen "
+    "on disk, the corpus ingested as two batches with idempotent "
+    "op_ids (O(batch) assignment — one broadcast matmul per Arrow "
+    "batch, no corpus re-read), search probing the persisted "
+    "assignments. The every-cycle ANN-maintenance shape: results are "
+    "identical to one-shot indexing because assignment under frozen "
+    "centroids is batch-invariant. Fixed per-sf root so later "
+    "sessions skip re-ingest via committed op_ids",
+)
+def sim_ivf_incremental(spark, sf_dir):
+    from omni_crawler_spark.operators.ivf import IVFIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    ix = IVFIndex(f"/tmp/ocs_ivfidx/{tag}", n_cells=16, dim=64)
+    ix.bootstrap(spark, e.filter(F.col("vec_id") % 2 == 1), op_id="boot")
+    ix.add_batch(spark, e.filter(F.col("vec_id") % 2 == 0), op_id="b1")
+    return ix.search(spark, [0, 1, 2, 3, 4], k=5, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
