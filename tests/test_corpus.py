@@ -101,3 +101,35 @@ def test_corpus_quantiles_match_numpy(spark):
             np.percentile(np.array(vals, dtype="float64"), [25, 50, 75]),
         ):
             assert abs(p - round(float(want), 4)) < 1e-9
+
+
+def test_chunk_windows_cover_every_word_with_fixed_overlap(spark):
+    """Every word index of every doc falls in >=1 window; consecutive
+    windows overlap by exactly width-stride except the tail; chunk_len
+    is exact for the tail."""
+    from omni_crawler_spark.analytics.registry_corpus import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+    )
+
+    rows = REGISTRY["corpus_chunk_windows"].build(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_len))
+    n_words = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert set(by_doc) == set(n_words)
+    for doc, chunks in by_doc.items():
+        chunks.sort()
+        ids = [c for c, _ in chunks]
+        assert ids == list(range(len(ids)))  # contiguous chunk ids
+        n = n_words[doc]
+        last_id, last_len = chunks[-1]
+        # full coverage: the last window reaches the last word
+        assert last_id * _CHUNK_STRIDE + last_len == n
+        for cid, clen in chunks[:-1]:
+            assert clen == min(_CHUNK_W, n - cid * _CHUNK_STRIDE)
