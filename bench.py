@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "corpus_chunk_windows",
     "sim_ivf_incremental",
+    "filter_decontaminate",
     "layout_partition_prune",
     "tpch_q3_shipping",
     "enrich_doc_profile",

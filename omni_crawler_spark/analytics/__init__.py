@@ -81,6 +81,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_incremental_batch",
     "corpus_chunk_windows",
     "sim_ivf_incremental",
+    "filter_decontaminate",
     "layout_partition_prune",
     "tpch_q3_shipping",
     # plan changed in round 3 (multi_match now probes the inverted

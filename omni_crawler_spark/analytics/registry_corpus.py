@@ -545,3 +545,80 @@ def corpus_chunk_windows(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 13  # sliding word n-gram length (industry standard)
+_DECON_EVAL = (0, 8, 89)  # stand-in "benchmark" docs
+
+
+@register(
+    "filter_decontaminate",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, n - {_DECON_N}),
+               i -> array_to_string(words[i + 1 : i + {_DECON_N}], ' ')))
+               AS gram
+      FROM w WHERE n >= {_DECON_N}
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM g
+      WHERE doc_id IN {_DECON_EVAL}
+    )
+    SELECT g.doc_id,
+           COUNT(DISTINCT g.gram) AS n_hit_grams
+    FROM g JOIN eval_grams e ON g.gram = e.gram
+    WHERE g.doc_id NOT IN {_DECON_EVAL}
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    doc="benchmark decontamination — the eval-overlap filter every "
+    f"LLM training pipeline runs: docs sharing any sliding "
+    f"{_DECON_N}-word n-gram with the eval set (stand-in: docs "
+    f"{_DECON_EVAL}) are flagged with their distinct hit counts. "
+    "Organically non-vacuous: the corpus's planted near-dup cliques "
+    "({0,50,82},{8,12},{89,114}) guarantee real hits. 100 TB shape: "
+    "eval grams are a BROADCAST set (benchmarks are ~10^6 grams, a "
+    "few MB hashed) joined against the corpus's gram stream — "
+    "map-side only, zero corpus shuffle before the per-doc count; in "
+    "production the join key is xxhash64(gram) and the broadcast is "
+    "a bloom filter with exact confirm, same structure as the "
+    "frontier's seen-filter (frontier/bloom.py)",
+)
+def filter_decontaminate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= _DECON_N)
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - _DECON_N),
+                lambda i: F.concat_ws(
+                    " ", F.slice("words", i + 1, _DECON_N)
+                ),
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        g.filter(F.col("doc_id").isin(*_DECON_EVAL))
+        .select("gram")
+        .distinct()
+    )
+    return (
+        g.filter(~F.col("doc_id").isin(*_DECON_EVAL))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+        .orderBy("doc_id")
+    )

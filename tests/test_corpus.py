@@ -133,3 +133,13 @@ def test_chunk_windows_cover_every_word_with_fixed_overlap(spark):
         assert last_id * _CHUNK_STRIDE + last_len == n
         for cid, clen in chunks[:-1]:
             assert clen == min(_CHUNK_W, n - cid * _CHUNK_STRIDE)
+
+
+def test_decontaminate_flags_known_cliques(spark):
+    """The eval docs' planted near-dups share long substrings and
+    must be flagged; eval docs themselves never appear."""
+    rows = REGISTRY["filter_decontaminate"].build(spark, SF).collect()
+    flagged = {r.doc_id for r in rows}
+    assert {50, 82, 12, 114} <= flagged  # cliques of eval docs 0/8/89
+    assert flagged.isdisjoint({0, 8, 89})
+    assert all(r.n_hit_grams > 0 for r in rows)
