@@ -57,6 +57,7 @@ HEADLINE = [
     "corpus_chunk_windows",
     "sim_ivf_incremental",
     "filter_decontaminate",
+    "pipeline_pretrain_corpus",
     "layout_partition_prune",
     "tpch_q3_shipping",
     "enrich_doc_profile",

@@ -82,6 +82,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_chunk_windows",
     "sim_ivf_incremental",
     "filter_decontaminate",
+    "pipeline_pretrain_corpus",
     "layout_partition_prune",
     "tpch_q3_shipping",
     # plan changed in round 3 (multi_match now probes the inverted

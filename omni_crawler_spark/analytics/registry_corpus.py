@@ -622,3 +622,143 @@ def filter_decontaminate(spark, sf_dir):
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining-corpus pipeline
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_CHARS = 200
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    f"""
+    WITH quality AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE n_chars >= {_PIPE_MIN_CHARS}
+    ), exact AS (  -- exact dedup: keep min doc_id per content
+      SELECT doc_id, text, source FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM (SELECT doc_id, text FROM documents)
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, n - {_DECON_N}),
+               i -> array_to_string(words[i + 1 : i + {_DECON_N}], ' ')))
+               AS gram
+      FROM w WHERE n >= {_DECON_N}
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id IN {_DECON_EVAL}
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN eval_grams e ON g.gram = e.gram
+    ), kept AS (
+      SELECT x.doc_id, x.text, x.source FROM exact x
+      WHERE x.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND x.doc_id NOT IN {_DECON_EVAL}
+    ), kw AS (
+      SELECT doc_id, source, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM kept
+    ), chunks AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(0, GREATEST((n - 1) // {_CHUNK_STRIDE}, 0)),
+               k -> LEAST({_CHUNK_W}, n - k * {_CHUNK_STRIDE}))) AS clen,
+             n
+      FROM kw
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS n_tokens
+    FROM chunks WHERE clen > 0
+    GROUP BY source ORDER BY source
+    """,
+    doc="the end-to-end pretraining-corpus pipeline, fully "
+    "oracle-paired: quality floor (n_chars>=200) -> exact dedup "
+    "(min-id per md5) -> benchmark decontamination (sliding "
+    "13-gram overlap vs the broadcast eval set) -> 64/48 window "
+    "chunking -> per-source doc/chunk/token accounting. Each stage's "
+    "semantics were verified standalone (dedup_exact_hash, "
+    "filter_decontaminate, corpus_chunk_windows); this query pins "
+    "the COMPOSITION cross-engine. 100 TB shape: every stage is "
+    "map-side or one bounded shuffle — the only corpus shuffles are "
+    "the md5 dedup groupBy and the final per-source aggregate; "
+    "decontamination and chunking never move corpus bytes",
+)
+def pipeline_pretrain_corpus(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    quality = d.filter(F.col("n_chars") >= _PIPE_MIN_CHARS).select(
+        "doc_id", "text", "source"
+    )
+    rn = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        quality.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = d.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= _DECON_N)
+    g = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - _DECON_N),
+                lambda i: F.concat_ws(" ", F.slice("words", i + 1, _DECON_N)),
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        g.filter(F.col("doc_id").isin(*_DECON_EVAL)).select("gram").distinct()
+    )
+    contaminated = (
+        g.join(F.broadcast(eval_grams), "gram").select("doc_id").distinct()
+    )
+    kept = (
+        exact.join(contaminated, "doc_id", "left_anti")
+        .filter(~F.col("doc_id").isin(*_DECON_EVAL))
+    )
+    kw = kept.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    chunks = kw.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        ((F.col("n") - 1) / _CHUNK_STRIDE).cast("long"),
+                        F.lit(0),
+                    ),
+                ),
+                lambda k: F.least(
+                    F.lit(_CHUNK_W), F.col("n") - k * _CHUNK_STRIDE
+                ),
+            )
+        ).alias("clen"),
+    ).filter(F.col("clen") > 0)
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("clen").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
