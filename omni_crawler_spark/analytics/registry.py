@@ -49,6 +49,9 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A silent dict overwrite would let import order pick which
+        # implementation serves a CORRECTNESS key — fail loudly instead.
+        assert name not in REGISTRY, f"duplicate query registration: {name}"
         REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
         return fn
 

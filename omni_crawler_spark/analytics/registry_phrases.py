@@ -1,12 +1,15 @@
-"""Coverage batch 5: key-phrase extraction (deterministic N5 twin) and
-a join+agg+top-k pipeline query (TPC-H Q3 shape)."""
+"""Coverage batch 5: key-phrase extraction (deterministic N5 twin).
+
+(The TPC-H Q3 query that used to live here was superseded by the
+plan-asserted version in registry_scale.py; register() now rejects
+duplicate names, so this module holds only the phrases query.)"""
 
 from __future__ import annotations
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from omni_crawler_spark.analytics.registry import _ORACLE_SUM_DBL, _t, register
+from omni_crawler_spark.analytics.registry import _t, register
 from omni_crawler_spark.functions.text import words
 
 
@@ -61,47 +64,4 @@ def enrich_key_phrases(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .drop("rn")
         .orderBy("doc_id", F.desc("cnt"), "phrase")
-    )
-
-
-@register(
-    "tpch_q3_shipping",
-    """
-    SELECT l.l_orderkey AS orderkey,
-           """
-    + _ORACLE_SUM_DBL.format(c="l.l_extendedprice * (1 - l.l_discount)")
-    + """ AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-           o.o_orderpriority AS orderpriority
-    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, orderkey LIMIT 10
-    """,
-    doc="bench depth — TPC-H Q3 shape: selective dim filter → 3-way join "
-    "→ agg → top-k (exercises predicate pushdown + broadcast + "
-    "TakeOrderedAndProject)",
-)
-def tpch_q3_shipping(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(27,6)"
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("l_orderkey").alias("orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.col("o_orderpriority").alias("orderpriority"),
-        )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-        .select("orderkey", "revenue", "orderdate", "orderpriority")
-        .orderBy(F.desc("revenue"), "orderkey")
-        .limit(10)
     )

@@ -8,10 +8,25 @@ Layout:
     <root>/snapshots/00000002.json        + commit metadata
 
 A snapshot manifest lists the data directories visible at that
-version. Commits are atomic via write-temp + ``os.rename``. Readers
-resolve the latest manifest (or an explicit ``version``) and read
-exactly those files — a partially-written data dir that never got a
-manifest is invisible, which is what makes kill-anywhere resume safe.
+version. Commits are atomic via write-temp + ``os.link`` onto the
+final path — ``link`` fails with EEXIST if another writer already
+published that version, so concurrent committers lose loudly instead
+of silently clobbering each other's manifest. Readers resolve the
+latest manifest (or an explicit ``version``) and read exactly those
+files — a partially-written data dir that never got a manifest is
+invisible, which is what makes kill-anywhere resume safe.
+
+Schema evolution: each manifest records the parquet schema of every
+data dir (``dir_schemas``). A commit may add NEW columns relative to
+earlier snapshots (the reference's ad-hoc ``ALTER TABLE ADD COLUMN``
+migrations, scripts/update_database.py:28-98 and
+src/storage/database_schema_updater.py:135-190); ``read`` returns the
+column superset with typed-NULL backfill for dirs written before the
+column existed. The schema comes from the manifest, never from footer
+sniffing (``mergeSchema`` would read every file footer — O(files)
+driver I/O at 10^10 rows); heterogeneous dirs are grouped by schema
+signature so the scan count is O(#migrations), not O(#commits).
+Renaming or re-typing an existing column is rejected loudly.
 
 Idempotent commits: a write tagged with ``op_id`` is skipped if any
 existing snapshot already carries that op_id — replaying a crawl
@@ -114,7 +129,13 @@ class SnapshotTable:
 
     # -- writes --------------------------------------------------------------
 
-    def _commit(self, data_dirs: list[str], op: str, op_id: str | None) -> int:
+    def _commit(
+        self,
+        data_dirs: list[str],
+        op: str,
+        op_id: str | None,
+        dir_schemas: dict[str, str] | None = None,
+    ) -> int:
         version = self.current_version() + 1
         op_versions = self._op_versions()
         if op_id is not None:
@@ -125,33 +146,84 @@ class SnapshotTable:
             "op_id": op_id,
             "data_dirs": data_dirs,
             "op_versions": op_versions,
+            "dir_schemas": dir_schemas or {},
         }
         final = os.path.join(self.root, "snapshots", f"{version:08d}.json")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, final)  # atomic publish
+        try:
+            # atomic publish that REFUSES an existing target: two
+            # concurrent writers racing the same version number get
+            # exactly one winner; the loser raises instead of
+            # overwriting a committed snapshot (os.rename would
+            # silently clobber it).
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit conflict on {self.name} version "
+                f"{version} — another writer committed this version first"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
+    def _check_evolution(self, df: DataFrame) -> None:
+        """New snapshots may ADD columns; they may not re-type an
+        existing one (rename = old column goes NULL-backfilled + new
+        column appears, which is Iceberg's add-column semantics too —
+        a true rename needs a rewrite)."""
+        if self.current_version() == 0:
+            return
+        prior = self._read_manifest(self.current_version()).get("dir_schemas")
+        if not prior:
+            return
+        from pyspark.sql.types import StructType
+
+        existing: dict[str, str] = {}
+        for sig in set(prior.values()):
+            for fld in StructType.fromJson(json.loads(sig)).fields:
+                existing.setdefault(fld.name, fld.dataType.simpleString())
+        for fld in df.schema.fields:
+            old = existing.get(fld.name)
+            if old is not None and old != fld.dataType.simpleString():
+                raise ValueError(
+                    f"schema evolution conflict on {self.name}.{fld.name}: "
+                    f"committed type {old}, new write has "
+                    f"{fld.dataType.simpleString()} — re-typing requires a "
+                    "full rewrite"
+                )
+
     def append(self, df: DataFrame, op_id: str | None = None) -> int:
-        """Append df as a new snapshot. No-op if op_id already committed."""
+        """Append df as a new snapshot. No-op if op_id already
+        committed. The new snapshot may carry added columns
+        (schema evolution); see the module docstring."""
         if op_id is not None and op_id in self.committed_op_ids():
             return self.current_version()
+        self._check_evolution(df)
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(new_dir)
-        prev = (
-            self._read_manifest(self.current_version())["data_dirs"]
-            if self.current_version()
-            else []
+        if self.current_version():
+            m = self._read_manifest(self.current_version())
+            prev, prev_schemas = m["data_dirs"], m.get("dir_schemas") or {}
+        else:
+            prev, prev_schemas = [], {}
+        return self._commit(
+            prev + [new_dir],
+            "append",
+            op_id,
+            dir_schemas={**prev_schemas, new_dir: df.schema.json()},
         )
-        return self._commit(prev + [new_dir], "append", op_id)
 
     def overwrite(self, df: DataFrame, op_id: str | None = None) -> int:
         if op_id is not None and op_id in self.committed_op_ids():
             return self.current_version()
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(new_dir)
-        return self._commit([new_dir], "overwrite", op_id)
+        return self._commit(
+            [new_dir], "overwrite", op_id,
+            dir_schemas={new_dir: df.schema.json()},
+        )
 
     def upsert(self, df: DataFrame, op_id: str | None = None) -> int:
         """Keyed MERGE: append ``df`` tagged with its commit version;
@@ -174,8 +246,12 @@ class SnapshotTable:
         if op_id is not None and op_id in self.committed_op_ids():
             return self.current_version()
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
-        self.read(spark, _resolve=False).write.mode("overwrite").parquet(new_dir)
-        return self._commit([new_dir], "rewrite", op_id)
+        cur = self.read(spark, _resolve=False)
+        cur.write.mode("overwrite").parquet(new_dir)
+        return self._commit(
+            [new_dir], "rewrite", op_id,
+            dir_schemas={new_dir: cur.schema.json()},
+        )
 
     def compact(self, spark: SparkSession, op_id: str | None = None) -> int:
         """Rewrite the resolved view as a single snapshot (keyed
@@ -190,7 +266,10 @@ class SnapshotTable:
         resolved = self._resolve(self.read(spark, _resolve=False), keep_v=True)
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         resolved.write.mode("overwrite").parquet(new_dir)
-        return self._commit([new_dir], "compact", op_id)
+        return self._commit(
+            [new_dir], "compact", op_id,
+            dir_schemas={new_dir: resolved.schema.json()},
+        )
 
     # -- reads ---------------------------------------------------------------
 
@@ -278,9 +357,59 @@ class SnapshotTable:
         version = version if version is not None else self.current_version()
         if version == 0:
             raise ValueError(f"table {self.name} has no snapshots yet")
-        dirs = self._read_manifest(version)["data_dirs"]
-        df = spark.read.parquet(*dirs)
+        manifest = self._read_manifest(version)
+        df = self._scan(spark, manifest)
         return self._resolve(df) if _resolve else df
+
+    def _scan(self, spark: SparkSession, manifest: dict) -> DataFrame:
+        """Scan a manifest's data dirs, evolving heterogeneous schemas
+        to the column superset with typed-NULL backfill. Homogeneous
+        tables (the common case) take a single-scan fast path identical
+        to the pre-evolution behavior; dirs are grouped by schema
+        signature so the plan has one scan node per distinct schema
+        (O(#migrations)), and each scan gets its schema from the
+        manifest — no per-file footer sniffing (``mergeSchema``)."""
+        dirs = manifest["data_dirs"]
+        dir_schemas = manifest.get("dir_schemas") or {}
+        if len({dir_schemas.get(d) for d in dirs}) <= 1:
+            return spark.read.parquet(*dirs)
+        from pyspark.sql.types import StructField, StructType
+
+        groups: dict[str | None, list[str]] = {}
+        for d in dirs:
+            groups.setdefault(dir_schemas.get(d), []).append(d)
+        scans: list[tuple[StructType, DataFrame]] = []
+        for sig, ds in groups.items():
+            if sig is None:  # legacy dirs committed before dir_schemas
+                df = spark.read.parquet(*ds)
+                scans.append((df.schema, df))
+            else:
+                st = StructType.fromJson(json.loads(sig))
+                scans.append((st, spark.read.schema(st).parquet(*ds)))
+        union_fields: dict[str, StructField] = {}
+        for st, _ in scans:
+            for fld in st.fields:
+                prev = union_fields.get(fld.name)
+                if prev is not None and prev.dataType != fld.dataType:
+                    raise ValueError(
+                        f"table {self.name} column {fld.name} committed "
+                        f"with conflicting types "
+                        f"{prev.dataType.simpleString()} vs "
+                        f"{fld.dataType.simpleString()}"
+                    )
+                union_fields.setdefault(fld.name, fld)
+        out: DataFrame | None = None
+        for st, df in scans:
+            have = set(st.fieldNames())
+            df = df.select(
+                *[
+                    F.col(n) if n in have
+                    else F.lit(None).cast(fld.dataType).alias(n)
+                    for n, fld in union_fields.items()
+                ]
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def is_empty(self) -> bool:
         return self.current_version() == 0

@@ -139,6 +139,75 @@ def test_upsert_replay_idempotent(spark, tmp_path):
     assert _rows(t, spark) == {("u1", 10)}
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Adding a column mid-corpus (the reference's ALTER TABLE ADD
+    COLUMN migrations, scripts/update_database.py:28-98): old
+    snapshots read back with typed-NULL backfill, the union schema is
+    the column superset, and no file is rewritten."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("u1", 10)], "url string, quality int"))
+    t.append(spark.createDataFrame(
+        [("u2", 20, "en")], "url string, quality int, lang string"))
+    got = {(r.url, r.quality, r.lang) for r in t.read(spark).collect()}
+    assert got == {("u1", 10, None), ("u2", 20, "en")}
+    assert dict(t.read(spark).dtypes)["lang"] == "string"
+    # time travel to the pre-migration snapshot sees the old schema
+    assert t.read(spark, version=1).columns == ["url", "quality"]
+
+
+def test_schema_evolution_upsert_across_boundary(spark, tmp_path):
+    """Keyed MERGE still resolves one row per key when the winning
+    write carries a column the loser predates."""
+    t = SnapshotTable(str(tmp_path / "t"), key=["url"])
+    t.upsert(spark.createDataFrame(
+        [("u1", 10), ("u2", 20)], "url string, quality int"))
+    t.upsert(spark.createDataFrame(
+        [("u1", 99, "en")], "url string, quality int, lang string"))
+    got = {(r.url, r.quality, r.lang) for r in t.read(spark).collect()}
+    assert got == {("u1", 99, "en"), ("u2", 20, None)}
+
+
+def test_schema_evolution_retype_rejected(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("u1", 10)], "url string, quality int"))
+    with pytest.raises(ValueError, match="re-typing"):
+        t.append(spark.createDataFrame(
+            [("u2", "high")], "url string, quality string"))
+
+
+def test_schema_evolution_compact_folds_superset(spark, tmp_path):
+    """compact() after a migration rewrites the resolved superset view
+    into one homogeneous dir; reads before/after are identical."""
+    t = SnapshotTable(str(tmp_path / "t"), key=["url"])
+    t.upsert(spark.createDataFrame([("u1", 10)], "url string, quality int"))
+    t.upsert(spark.createDataFrame(
+        [("u2", 20, "en")], "url string, quality int, lang string"))
+    before = {(r.url, r.quality, r.lang) for r in t.read(spark).collect()}
+    t.compact(spark)
+    assert {(r.url, r.quality, r.lang)
+            for r in t.read(spark).collect()} == before
+    assert len(t._read_manifest(t.current_version())["data_dirs"]) == 1
+
+
+def test_concurrent_commit_conflict_raises(spark, tmp_path):
+    """Two writers racing the same version: exactly one wins, the
+    loser fails loudly instead of clobbering the committed manifest
+    (os.link O_EXCL-style publish)."""
+    t1 = SnapshotTable(str(tmp_path / "t"))
+    t2 = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(0, 3)
+    new_dir = str(tmp_path / "race-dir")
+    df.write.mode("overwrite").parquet(new_dir)
+    v1 = t1.append(df)
+    # t2 computed its commit against the same base version: simulate
+    # the race by forcing its _commit to target t1's version number
+    t2.current_version = lambda: v1 - 1  # type: ignore[method-assign]
+    with pytest.raises(RuntimeError, match="concurrent commit conflict"):
+        t2._commit([new_dir], "append", None)
+    # the winner's manifest is intact
+    assert t1.read(spark).count() == 3
+
+
 def test_compact_preserves_resolved_view(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"), key=["url"])
     for q in (1, 2, 3):
