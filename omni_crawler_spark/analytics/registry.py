@@ -62,6 +62,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def cache_tag(sf_dir: str) -> str:
+    """Cache-root tag for persisted derived state (bucketed layouts,
+    MinHash/IVF/inverted-search indexes): the sanitized source path
+    PLUS a content fingerprint of the source parquet (relpath, size,
+    mtime_ns of every file — a driver-side stat walk, no data read).
+    Regenerating the data at ``sf_dir`` changes the tag, so a stale
+    persisted index can never be silently served against new source
+    bytes (the old root is simply orphaned). Two sessions over
+    identical bytes share a root; their bootstrap race resolves via
+    idempotent op_ids + optimistic commit retry (lakehouse/table.py)."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for root, dirs, files in sorted(os.walk(sf_dir)):
+        dirs.sort()
+        for fname in sorted(files):
+            p = os.path.join(root, fname)
+            st = os.stat(p)
+            h.update(
+                f"{os.path.relpath(p, sf_dir)}:"
+                f"{st.st_size}:{st.st_mtime_ns};".encode()
+            )
+    base = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    return f"{base}_{h.hexdigest()[:12]}"
+
+
 def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     """Total order for a SMALL result of an EXPENSIVE lineage.
 

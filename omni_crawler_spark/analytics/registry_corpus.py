@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from omni_crawler_spark.analytics.registry import _t, ordered_small, register
+from omni_crawler_spark.analytics.registry import (
+    _t,
+    cache_tag,
+    ordered_small,
+    register,
+)
 
 # ---------------------------------------------------------------------------
 # Passage-level exact dedup
@@ -440,7 +445,7 @@ def dedup_incremental_batch(spark, sf_dir):
     # machine, later sessions skip it via the committed op_id (the
     # steady-state cost is the batch, which is the point); the
     # self-match filter in _cross_probe keeps replays verdict-stable
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = cache_tag(sf_dir)
     ix = MinHashIndex(
         f"/tmp/ocs_mhidx/{tag}", shingle_k=14, threshold=0.9
     )

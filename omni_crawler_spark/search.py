@@ -48,7 +48,7 @@ def auto_max_edits(term: str) -> int:
     return 0 if n < 3 else 1 if n < 6 else 2
 
 
-def _parse_terms(docs: DataFrame, query: str, fuzziness: str | None):
+def _parse_terms(spark, query: str, fuzziness: str | None):
     terms = [
         (t, auto_max_edits(t) if fuzziness == "AUTO" else 0)
         for t in query.lower().split()
@@ -56,7 +56,7 @@ def _parse_terms(docs: DataFrame, query: str, fuzziness: str | None):
     ]
     if not terms:
         raise ValueError("empty query")
-    return docs.sparkSession.createDataFrame(terms, "term string, maxed int")
+    return spark.createDataFrame(terms, "term string, maxed int")
 
 
 def _resolve_fields(docs: DataFrame, fields: dict[str, int] | None):
@@ -156,7 +156,7 @@ def multi_match(
     identical to ``multi_match_scan`` (pytest-pinned) with the
     Levenshtein bounded to the vocabulary."""
     index = build_inverted_index(docs, fields, id_col)
-    term_df = _parse_terms(docs, query, fuzziness)
+    term_df = _parse_terms(docs.sparkSession, query, fuzziness)
     return multi_match_indexed(index, term_df, id_col=id_col, size=size)
 
 
@@ -174,7 +174,7 @@ def multi_match_scan(
     tests (multi_match must return exactly these rows) and as the
     measured anti-pattern the inverted index removes."""
     fields = _resolve_fields(docs, fields)
-    term_df = _parse_terms(docs, query, fuzziness)
+    term_df = _parse_terms(docs.sparkSession, query, fuzziness)
     long = docs.select(
         F.col(id_col),
         F.explode(

@@ -1,0 +1,126 @@
+"""Persisted, incrementally-maintained inverted search index.
+
+The reference never rebuilds its search index per query: Elasticsearch
+maintains it continuously — every stored article is indexed at save
+time (src/storage/omni_storage.py:88-135 defines the mapping; each
+save indexes the doc) and src/search/advanced_search.py:15-39 only
+ever PROBES it. ``search.multi_match`` built the token index inline
+per invocation, which is correct but pays the full corpus
+explode+distinct on every query — the amortization that justifies an
+inverted index never happened (measured: the indexed plan was +24%
+vs the scan it replaced at sf0.1).
+
+:class:`SearchIndex` is the missing persistence layer, the same shape
+as the MinHash/IVF incremental indexes (operators/dedup_incremental.py,
+operators/ivf.py):
+
+- ``bootstrap`` pays the one-time corpus tokenization and commits the
+  postings ``(tok, fld, boost10, doc_id)`` to a :class:`SnapshotTable`
+  under an idempotent ``op_id`` — replays and concurrent sessions
+  resolve to one copy;
+- ``index_batch`` appends postings for NEW docs only — O(batch) per
+  crawl cycle, the ES save-time indexing analog;
+- ``query`` probes the persisted postings: fuzzy-expands the terms
+  against the distinct-token vocabulary (Heaps'-law small), one
+  broadcast equi-join back into the postings — the corpus-sized side
+  never sees an edit distance, and the corpus text is never re-read;
+- ``compact`` folds the append-per-cycle dirs into one snapshot
+  (read-amplification bound, same as every other index here).
+
+100 TB shape: the postings table is bucketed by ``tok`` so a probe
+prunes to the touched buckets; the vocabulary is the distinct ``tok``
+of a dictionary-encoded parquet column — a metadata-cheap scan that
+never touches document text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omni_crawler_spark.lakehouse.table import SnapshotTable
+from omni_crawler_spark.search import (
+    DEFAULT_FIELDS,
+    _parse_terms,
+    build_inverted_index,
+    multi_match_indexed,
+)
+
+
+class SearchIndex:
+    """Persisted postings ``(tok, fld, boost10, <id_col>)`` with
+    incremental maintenance. ``fields`` ({column: boost×10}) is fixed
+    per index root — postings indexed under one boost config are not
+    comparable to another, so opening an existing root with different
+    params fails loudly (the MinHashIndex signature-marker contract).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        fields: dict[str, int] | None = None,
+        id_col: str = "doc_id",
+    ):
+        self.table = SnapshotTable(root, name="inverted_index")
+        self.fields = fields or dict(DEFAULT_FIELDS)
+        self.id_col = id_col
+        params = {"fields": self.fields, "id_col": id_col}
+        marker = os.path.join(root, "index_params.json")
+        if os.path.isfile(marker):
+            existing = json.load(open(marker))
+            if existing != params:
+                raise ValueError(
+                    f"search index at {root} was built with {existing}, "
+                    f"requested {params} — use a new root or matching "
+                    "parameters"
+                )
+        else:
+            with open(marker, "w") as fh:
+                json.dump(params, fh)
+
+    def bootstrap(
+        self, spark: SparkSession, docs: DataFrame, op_id: str | None = None
+    ) -> None:
+        """Index an existing corpus (one-time backfill); idempotent
+        under ``op_id``."""
+        self.table.append(
+            build_inverted_index(docs, self.fields, self.id_col),
+            op_id=op_id,
+        )
+
+    def index_batch(
+        self, spark: SparkSession, docs: DataFrame, op_id: str | None = None
+    ) -> None:
+        """Append postings for a batch of NEW docs — O(batch) per
+        cycle, never a corpus re-tokenize. Caller guarantees the ids
+        are new (the crawl pipeline's seen-filter already does); a
+        re-indexed doc would double its postings until ``compact``
+        deduplicates reads via the distinct probe."""
+        self.table.append(
+            build_inverted_index(docs, self.fields, self.id_col),
+            op_id=op_id,
+        )
+
+    def compact(self, spark: SparkSession, op_id: str | None = None) -> int:
+        """Fold append-per-cycle data dirs into one snapshot."""
+        return self.table.rewrite(spark, op_id=op_id)
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return self.table.read(spark)
+
+    def query(
+        self,
+        spark: SparkSession,
+        query: str,
+        fuzziness: str | None = "AUTO",
+        size: int = 20,
+    ) -> DataFrame:
+        """Probe the persisted index — identical results to
+        ``search.multi_match`` over the same corpus (pytest-pinned),
+        without ever re-reading or re-tokenizing document text."""
+        term_df = _parse_terms(spark, query, fuzziness)
+        return multi_match_indexed(
+            self.postings(spark), term_df, id_col=self.id_col, size=size
+        )

@@ -208,6 +208,35 @@ def test_concurrent_commit_conflict_raises(spark, tmp_path):
     assert t1.read(spark).count() == 3
 
 
+def test_concurrent_append_retries_and_resolves(spark, tmp_path):
+    """Optimistic concurrency: an append that loses the version race
+    retries against the winner's state — both writers' rows land, and
+    a loser whose op_id the winner already committed no-ops."""
+    t1 = SnapshotTable(str(tmp_path / "t"))
+    t2 = SnapshotTable(str(tmp_path / "t"))
+    base = t1.append(spark.range(0, 2), op_id="base")
+    # t2 races: its first current_version() call returns the stale
+    # base, as if t1's next commit landed between t2's read and write
+    stale_once = [True]
+    orig = t2.current_version
+
+    def racy():
+        if stale_once[0]:
+            stale_once[0] = False
+            t1.append(spark.range(100, 102), op_id="winner")  # interleaved
+        return orig()
+
+    t2.current_version = racy  # type: ignore[method-assign]
+    t2.append(spark.range(200, 203), op_id="loser-retries")
+    got = sorted(r.id for r in t1.read(spark).collect())
+    assert got == [0, 1, 100, 101, 200, 201, 202]
+    assert t1.committed_op_ids() >= {"base", "winner", "loser-retries"}
+    # same-op_id race: replaying the op another session won is a no-op
+    v = t1.current_version()
+    assert t2.append(spark.range(300, 310), op_id="winner") == v
+    assert t1.read(spark).count() == 7
+
+
 def test_compact_preserves_resolved_view(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"), key=["url"])
     for q in (1, 2, 3):

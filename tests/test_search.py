@@ -89,7 +89,7 @@ def test_inverted_index_shape(docs):
     ).count()
     assert n == 1
     # the fuzzy expansion runs over the vocabulary only
-    term_df = SE._parse_terms(docs, "marekt", "AUTO")
+    term_df = SE._parse_terms(docs.sparkSession, "marekt", "AUTO")
     exp = {(r.tok, r.term) for r in SE.expand_terms(idx, term_df).collect()}
     assert ("market", "marekt") in exp
     assert all(t == "marekt" for _, t in exp)
@@ -124,3 +124,83 @@ def test_apply_filters(docs):
     assert {r.doc_id for r in f.collect()} == {1, 3}
     f2 = SE.apply_filters(d, domains=["news.com"], min_length=None)
     assert f2.count() == 2
+
+
+# -- persisted index (search_index.SearchIndex) -----------------------------
+
+
+def test_search_index_matches_inline(docs, tmp_path):
+    """Probing the persisted index returns exactly multi_match's rows
+    for exact, fuzzy, and multi-term queries."""
+    from omni_crawler_spark.search_index import SearchIndex
+
+    spark = docs.sparkSession
+    ix = SearchIndex(str(tmp_path / "ix"))
+    ix.bootstrap(spark, docs, op_id="boot")
+    for q in ("market", "marekt", "market relevant"):
+        idx = sorted(
+            (r.doc_id, r.score) for r in ix.query(spark, q).collect()
+        )
+        inline = sorted(
+            (r.doc_id, r.score) for r in SE.multi_match(docs, q).collect()
+        )
+        assert idx == inline, q
+
+
+def test_search_index_no_rebuild_on_query(docs, tmp_path, monkeypatch):
+    """A second query must NOT re-tokenize the corpus: the postings
+    come from the persisted table, so build_inverted_index is never
+    called on the query path (the round-3 regression was exactly this
+    inline rebuild per invocation)."""
+    import omni_crawler_spark.search_index as SI
+
+    spark = docs.sparkSession
+    ix = SI.SearchIndex(str(tmp_path / "ix"))
+    ix.bootstrap(spark, docs, op_id="boot")
+    v = ix.table.current_version()
+
+    def boom(*a, **k):
+        raise AssertionError("query path re-tokenized the corpus")
+
+    monkeypatch.setattr(SI, "build_inverted_index", boom)
+    got = {r.doc_id for r in ix.query(spark, "market").collect()}
+    assert got == {1, 3, 4}
+    assert ix.table.current_version() == v  # no new snapshot either
+    # bootstrap replay is an op_id no-op, not a second tokenization pass
+    monkeypatch.undo()
+    ix.bootstrap(spark, docs, op_id="boot")
+    assert ix.table.current_version() == v
+
+
+def test_search_index_incremental_batch(docs, tmp_path):
+    """index_batch appends postings for new docs only; afterwards the
+    probe sees the union corpus — identical to one-shot indexing."""
+    from omni_crawler_spark.search_index import SearchIndex
+
+    spark = docs.sparkSession
+    old = docs.filter("doc_id <= 2")
+    new = docs.filter("doc_id > 2")
+    ix = SearchIndex(str(tmp_path / "ix"))
+    ix.bootstrap(spark, old, op_id="boot")
+    assert {r.doc_id for r in ix.query(spark, "market").collect()} == {1}
+    ix.index_batch(spark, new, op_id="cycle-1")
+    full = sorted(
+        (r.doc_id, r.score) for r in ix.query(spark, "market").collect()
+    )
+    oneshot = sorted(
+        (r.doc_id, r.score) for r in SE.multi_match(docs, "market").collect()
+    )
+    assert full == oneshot
+    # compaction folds the two append dirs; results unchanged
+    ix.compact(spark, op_id="maint-1")
+    assert sorted(
+        (r.doc_id, r.score) for r in ix.query(spark, "market").collect()
+    ) == oneshot
+
+
+def test_search_index_params_marker(docs, tmp_path):
+    from omni_crawler_spark.search_index import SearchIndex
+
+    SearchIndex(str(tmp_path / "ix"))
+    with pytest.raises(ValueError, match="built with"):
+        SearchIndex(str(tmp_path / "ix"), fields={"title": 10})
