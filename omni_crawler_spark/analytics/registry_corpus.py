@@ -66,50 +66,29 @@ _PASSAGES_SQL = f"""
     "dedup): disjoint 20-word chunks per doc, cross-doc repeated "
     "chunks -> duplicated-passage doc pairs. 10 planted full copies "
     "(doc_id+100000) keep the oracle non-vacuous on word-soup text. "
-    "100 TB shape: ONE shuffle on the chunk key; in production the "
-    "join key is xxhash64(passage) (8 bytes vs ~120) and the output "
-    "feeds the same connected-components keeper as minhash "
+    "100 TB shape (operators/dedup.py::passage_dup_pairs): ONE "
+    "shuffle, keyed on xxhash64(passage) (8 bytes shuffled per chunk "
+    "vs ~120), hot passages removed by a count-pre-pass + broadcast "
+    "anti-join BEFORE the self-join — a boilerplate passage repeated "
+    "across 10^5 docs can never expand to 10^10 join rows (blowup "
+    "bound pytest-pinned on a degenerate corpus). Output feeds the "
+    "same connected-components keeper as minhash "
     "(registry_sim.py::dedup_cluster_cc). Word-level chunking means "
     "a single-word edit disturbs only its own chunk, unlike "
     "byte-offset blocks",
 )
 def dedup_passage(spark, sf_dir):
+    from omni_crawler_spark.operators.dedup import passage_dup_pairs
+
     d = _t(spark, sf_dir, "documents")
     both = d.select("doc_id", "text").unionByName(
         d.filter(F.col("doc_id") < 10).select(
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    w = both.select("doc_id", F.split("text", " ").alias("words"))
-    p = (
-        w.filter(F.size("words") >= _PASSAGE_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        (F.size("words") / _PASSAGE_W).cast("long") - 1,
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice("words", i * _PASSAGE_W + 1, _PASSAGE_W)
-                    ),
-                )
-            ).alias("passage"),
-        )
-    )
-    a, b = p.alias("a"), p.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.passage") == F.col("b.passage"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
-        .transform(lambda df: ordered_small(df, "id_a", "id_b"))
+    return ordered_small(
+        passage_dup_pairs(both, "doc_id", "text", passage_w=_PASSAGE_W),
+        "id_a", "id_b",
     )
 
 
@@ -280,14 +259,19 @@ _PR_D = 0.85
 
 def _pagerank_oracle() -> str:
     # chained CTEs, one per iteration — contributions are summed as
-    # DECIMAL(27,18) (order-independent), mirroring the Spark plan
+    # DECIMAL(27,18) (order-independent), mirroring the Spark plan.
+    # The teleport constant is interpolated as repr(1 - _PR_D) so both
+    # engines evaluate the IDENTICAL IEEE double (the literal 0.15
+    # differs from Python's 1 - 0.85 by 2 ulp — a latent
+    # rounding-boundary flake under ROUND(rank, 6)).
+    teleport = repr(1.0 - _PR_D)
     its = []
     prev = "it0"
     for i in range(1, _PR_ITERS + 1):
         its.append(f"""
     it{i} AS (
       SELECT n.doc_id,
-             0.15 / s.n + {_PR_D} * COALESCE(CAST(SUM(CAST(
+             {teleport} / s.n + {_PR_D} * COALESCE(CAST(SUM(CAST(
                  r.rank / o.outdeg AS DECIMAL(27,18))) AS DOUBLE), 0.0)
                AS rank
       FROM nodes n CROSS JOIN s

@@ -153,11 +153,13 @@ def crawl_frontier_drain(spark, sf_dir):
     "multimodal_phash_dedup",
     None,
     doc="image near-dup by pHash hamming distance (input_hint's phash "
-    "column): 9-band pigeonhole blocking (max_hamming+1 bands "
-    "guarantees full recall at hamming<=8) without n² comparisons "
-    "(operators/dedup.py::hamming_near_dups, shared with SimHash; "
-    "degenerate buckets capped); planted perturbed-image recovery "
-    "pytest-verified in tests/test_images.py",
+    "column): 9-band pigeonhole blocking (max_hamming+1 bands; full "
+    "recall whenever the agreeing band's bucket is under the "
+    "degenerate-bucket cap — a capped bucket sacrifices its pairs, "
+    "see hamming_near_dups) without n² comparisons "
+    "(operators/dedup.py::hamming_near_dups, shared with SimHash); "
+    "planted perturbed-image recovery pytest-verified in "
+    "tests/test_images.py",
 )
 def multimodal_phash_dedup(spark, sf_dir):
     from omni_crawler_spark.analytics.registry import ordered_small

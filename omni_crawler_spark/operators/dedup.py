@@ -295,6 +295,77 @@ def minhash_dedup(
     return df.join(drop_ids, id_col, "left_anti")
 
 
+def passage_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_w: int = 20,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_passages) for docs sharing at least one
+    exact ``passage_w``-word chunk — CCNet-style passage dedup, the
+    distributed approximation of Lee et al. suffix-array substring
+    dedup.
+
+    Scale shape: the chunker is pure codegen (split/sequence/slice/
+    explode, zero Python); the self-join keys on ``xxhash64(passage)``
+    — 8 bytes shuffled per chunk instead of the ~`passage_w`-word
+    string — and hot passages are removed by the same count-pre-pass +
+    broadcast anti-join as every other blocking operator here: a
+    boilerplate passage repeated across 10^5 docs would otherwise
+    expand to 10^10 join rows before the groupBy. Dropped (oversized)
+    passages sacrifice their pairs by design — universal boilerplate
+    is not dedup signal. Hash collisions can in principle merge two
+    distinct passages into one key (~2^-64 per pair); the downstream
+    consumer is a near-dup verify/CC stage, which tolerates that.
+    """
+    w = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
+    p = (
+        w.filter(F.size("words") >= passage_w)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.size("words") / passage_w).cast("long") - 1,
+                    ),
+                    # hash INSIDE the lambda: the exploded rows carry
+                    # only the 8-byte key, never the passage string
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ", F.slice("words", i * passage_w + 1, passage_w)
+                        )
+                    ),
+                )
+            ).alias("ph"),
+        )
+    )
+    if max_bucket_size is not None:
+        oversized = (
+            p.groupBy("ph")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("ph")
+        )
+        p = p.join(F.broadcast(oversized), "ph", "left_anti")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ph") == F.col("b.ph"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (vectorized pandas UDF — 64 bit-planes don't express as columns)
 # ---------------------------------------------------------------------------
@@ -362,8 +433,14 @@ def hamming_near_dups(
     SimHash of empty/near-empty text, constant boilerplate bands)
     BEFORE the self-join — one hot (band, val) bucket otherwise
     expands to n² join rows. Size gating is a cheap count groupBy +
-    join, mirroring minhash_lsh_candidates/embedding_near_dups; pairs
-    inside a dropped bucket can still be found via their other bands.
+    join, mirroring minhash_lsh_candidates/embedding_near_dups.
+    NOTE: the cap SACRIFICES the pigeonhole recall guarantee for
+    pairs whose only agreeing band is a dropped bucket — a pair may
+    agree on other (non-dropped) bands and still be found, but that
+    is not guaranteed. Pass ``max_bucket_size=None`` for the
+    unconditional-recall (and unbounded-blowup) behavior; production
+    web dedup keeps the cap and routes boilerplate to exact-hash
+    dedup instead.
     """
     if n_bands is None:
         n_bands = max_hamming + 1

@@ -29,6 +29,26 @@ def test_dedup_passage_finds_planted_copies(spark):
             assert pairs[(d.doc_id, d.doc_id + 100000)] == want
 
 
+def test_passage_dedup_hot_bucket_capped(spark):
+    """A boilerplate passage shared by 300 docs must contribute ZERO
+    join rows when it exceeds the bucket cap (uncapped it would be
+    300·299/2 ≈ 45k pairs from one passage — the 10^10-row blowup
+    shape at web scale); organically-duplicated passages under the
+    cap are still found."""
+    from omni_crawler_spark.operators.dedup import passage_dup_pairs
+
+    boiler = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000, uniq), (1001, uniq)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = passage_dup_pairs(df, max_bucket_size=100).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(1000, 1001)}
+    # sanity: the cap (not the chunker) is what bounded the blowup
+    n_uncapped = passage_dup_pairs(df, max_bucket_size=None).count()
+    assert n_uncapped == 300 * 299 // 2 + 1
+
+
 def test_bm25_orders_by_term_density(spark):
     """A doc stuffed with the query terms must outrank every real doc,
     and scores must be non-increasing down the result."""
@@ -40,12 +60,21 @@ def test_bm25_orders_by_term_density(spark):
 
 def test_sample_stratified_is_partition_invariant(spark):
     """Identical sample regardless of input partitioning — the whole
-    point of hash-keyed sampling (no RNG, no partition order)."""
+    point of hash-keyed sampling (no RNG, no partition order). The
+    second run executes the SAME query under a different input-split
+    size and shuffle-partition count, so the rows genuinely flow
+    through a different partitioning of the same plan."""
     q = REGISTRY["sample_stratified"].build
     a = {(r.doc_id, r.lang, r.strat_rank) for r in q(spark, SF).collect()}
-    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(17)
-    docs.createOrReplaceTempView("_strat_docs_tmp")
-    b = {(r.doc_id, r.lang, r.strat_rank) for r in q(spark, SF).collect()}
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        b = {(r.doc_id, r.lang, r.strat_rank) for r in q(spark, SF).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
     assert a == b
     # exactly N per stratum (or the whole stratum when smaller)
     per = {}
