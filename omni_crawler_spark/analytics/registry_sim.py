@@ -204,6 +204,91 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_verify",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    copies AS (
+      SELECT doc_id + 100000 AS doc_id,
+             text || ' verify trailer tokens' AS text
+      FROM base WHERE doc_id < 12
+    ),
+    docs AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+    cand AS (
+      SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+      FROM base WHERE doc_id < 12
+      UNION ALL
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 23 = 0
+    ),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM docs),
+    j AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+               AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard,
+           CASE WHEN jaccard >= 0.8 THEN 'confirmed' ELSE 'rejected' END
+             AS status
+    FROM j ORDER BY id_a, id_b
+    """,
+    doc="the VERIFY stage of the MinHash pipeline, oracle-paired: the "
+    "exact same vectorized kernel dedup_minhash_lsh confirms its "
+    "candidates with (operators/dedup.py::jaccard_verify → "
+    "jaccard_pair_udf, shingle_k=5) runs over a DETERMINISTIC "
+    "candidate list — 12 planted near-copies (doc_id+100000, text + "
+    "a short trailer, jaccard near 1) plus consecutive-id organic "
+    "pairs — and every pair's exact 5-gram-shingle Jaccard is "
+    "value-hash-checked against a DuckDB list_intersect twin, with "
+    "the 0.8 confirm threshold reported as a status column. LSH "
+    "candidate GENERATION stays rows-only (approximate by design); "
+    "this pins the half of dedup_minhash_lsh that is exact math",
+)
+def dedup_minhash_verify(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 12).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" verify trailer tokens")).alias("text"),
+    )
+    docs = d.unionByName(copies)
+    planted = d.filter(F.col("doc_id") < 12).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    organic = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 23 == 0)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    cand = planted.unionByName(organic)
+    # threshold=0.0 keeps every candidate's exact jaccard in the
+    # output (the oracle checks VALUES, not just survivors); the
+    # pipeline's 0.8 confirm decision is surfaced as `status`
+    verified = D.jaccard_verify(
+        docs, cand, "doc_id", "text", shingle_k=5, threshold=0.0
+    )
+    return ordered_small(
+        verified.select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.when(F.col("jaccard") >= 0.8, F.lit("confirmed"))
+            .otherwise(F.lit("rejected"))
+            .alias("status"),
+        ),
+        "id_a",
+        "id_b",
+    )
+
+
+@register(
     "dedup_simhash",
     None,
     doc="SimHash near-dup pairs (hamming<=3, banded blocking), "

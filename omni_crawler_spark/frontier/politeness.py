@@ -28,47 +28,177 @@ All per-host sequencing happens inside one window partition =
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# the engine's robots User-agent token (what a real crawl would send
+# and match against User-agent groups)
+ROBOTS_UA = "omni-crawler-spark"
+
+_RULES_TYPE = "array<struct<path:string,allow:boolean>>"
 
 
 def parse_robots_txt(robots_txt: "F.Column") -> "F.Column":
-    """robots.txt text → array of Disallow path prefixes (the subset
-    of the spec the scheduler enforces; reference has only the config
-    flag config/master_config.yaml:10 — this is new code per the
-    north rule). Pure column expression: one regexp_extract_all over
-    the raw file text, empty-prefix rules (allow-all) dropped."""
+    """robots.txt text → array of Disallow path prefixes. The legacy
+    single-group subset (kept for callers that only need prefixes);
+    the full per-agent/Allow-precedence path is
+    ``robots_rules_for_agent`` + ``robots_verdict``. Pure column
+    expression: one regexp_extract_all over the raw file text,
+    empty-prefix rules (allow-all) dropped."""
     rules = F.regexp_extract_all(
         robots_txt, F.lit(r"(?im)^\s*Disallow:\s*(\S+)\s*$"), F.lit(1)
     )
     return F.filter(rules, lambda p: (p != "") & (p != "/$"))
 
 
+def parse_robots_groups(
+    text: str,
+) -> list[tuple[list[str], list[tuple[str, bool]]]]:
+    """robots.txt → [(agents, [(path, allow), ...]), ...] with
+    urllib.robotparser's grouping rules: consecutive User-agent lines
+    head a group; a User-agent line after rules starts a new group;
+    blank lines end a group; ``#`` starts a comment. An empty
+    Disallow value is the explicit allow-all rule (path '', allow)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            if agents and rules:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            continue
+        if ":" not in line:
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if rules:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents.append(val.lower())
+        elif key in ("allow", "disallow") and agents:
+            # empty value: no-op Allow / explicit allow-all Disallow
+            rules.append((val, key == "allow" or val == ""))
+    if agents and rules:
+        groups.append((agents, rules))
+    return groups
+
+
+def robots_rules_for_agent(
+    text: str, agent: str = ROBOTS_UA
+) -> list[tuple[str, bool]]:
+    """The rule list governing ``agent``: the group whose User-agent
+    token is the LONGEST substring of the agent's product token wins;
+    ``*`` is the fallback (specificity 0). Matches
+    urllib.robotparser's applies_to check with RFC 9309's
+    most-specific-group selection."""
+    product = agent.split("/")[0].lower()
+    best: list[tuple[str, bool]] | None = None
+    best_len = -1
+    for agents, rules in parse_robots_groups(text):
+        for a in agents:
+            if a == "*":
+                if best_len < 0:
+                    best, best_len = rules, 0
+            elif a in product and len(a) > best_len:
+                best, best_len = rules, len(a)
+    return list(best or [])
+
+
+def robots_rules_udf(agent: str = ROBOTS_UA):
+    """Arrow-batched parser: raw robots_txt column → rules array for
+    ``agent``. Runs over the HOSTS DIM only (one row per host), never
+    the frontier — parsing stays O(hosts); the per-URL verdict is the
+    pure column expression ``robots_verdict``."""
+
+    @pandas_udf(_RULES_TYPE)
+    def parse(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else [
+                    {"path": p, "allow": al}
+                    for p, al in robots_rules_for_agent(t, agent)
+                ]
+                for t in texts
+            ]
+        )
+
+    return parse
+
+
+def robots_verdict(path: "F.Column", rules: "F.Column") -> "F.Column":
+    """True iff ``path`` is allowed under ``rules``
+    (array<struct<path,allow>>): RFC 9309 precedence — the LONGEST
+    matching rule path wins; on a length tie Allow wins; no matching
+    rule (or no rules) → allowed. Pure codegen-able column expression
+    over the broadcast host dim's rules array — zero Python on the
+    frontier path."""
+    matching = F.filter(rules, lambda r: F.startswith(path, r["path"]))
+    best = F.aggregate(
+        matching,
+        F.struct(
+            F.lit(-1).cast("int").alias("ln"), F.lit(True).alias("allow")
+        ),
+        lambda acc, r: F.when(
+            (F.length(r["path"]) > acc["ln"])
+            | ((F.length(r["path"]) == acc["ln"]) & r["allow"]),
+            F.struct(
+                F.length(r["path"]).cast("int").alias("ln"),
+                r["allow"].alias("allow"),
+            ),
+        ).otherwise(acc),
+    )
+    return best["allow"]
+
+
 def hosts_with_parsed_robots(hosts: DataFrame) -> DataFrame:
-    """If the hosts table carries raw ``robots_txt`` instead of a
-    pre-parsed ``robots_disallow`` array, derive the array."""
-    if "robots_disallow" in hosts.columns:
+    """Normalize the hosts dim to carry ``robots_rules``
+    (array<struct<path,allow>>): pass-through if present, parsed from
+    raw ``robots_txt`` (per-agent groups + Allow precedence) if that
+    column exists, else derived from the legacy ``robots_disallow``
+    prefix array (all-disallow rules — identical verdicts to the old
+    any-prefix-blocks behavior)."""
+    if "robots_rules" in hosts.columns:
         return hosts
+    if "robots_txt" in hosts.columns:
+        return hosts.withColumn(
+            "robots_rules", robots_rules_udf()(F.col("robots_txt"))
+        )
     return hosts.withColumn(
-        "robots_disallow", parse_robots_txt(F.col("robots_txt"))
+        "robots_rules",
+        F.transform(
+            F.col("robots_disallow"),
+            lambda p: F.struct(p.alias("path"), F.lit(False).alias("allow")),
+        ),
     )
 
 
 def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
-    """Drop URLs matching a disallow prefix of their host. Hosts is a
-    small dim → broadcast join, no shuffle on the frontier side."""
+    """Drop URLs disallowed for our agent by their host's robots
+    rules (User-agent group selection + longest-match Allow/Disallow
+    precedence). Hosts is a small dim → broadcast join, no shuffle on
+    the frontier side; hosts absent from the dim are allowed."""
     path = F.regexp_replace(
         F.col("url_canonical"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
     )
     hosts = hosts_with_parsed_robots(hosts)
     joined = frontier.join(
-        F.broadcast(hosts.select("host", "robots_disallow")), "host", "left"
+        F.broadcast(hosts.select("host", "robots_rules")), "host", "left"
     )
-    blocked = F.exists(
-        F.coalesce(F.col("robots_disallow"), F.array()),
-        lambda p: F.startswith(path, p),
+    allowed = robots_verdict(
+        path, F.coalesce(F.col("robots_rules"), F.lit(None).cast(_RULES_TYPE))
     )
-    return joined.filter(~blocked).drop("robots_disallow")
+    # NULL rules (unknown host / unreadable robots) → allowed: the
+    # aggregate over a NULL array yields NULL, coalesced to True
+    return joined.filter(F.coalesce(allowed, F.lit(True))).drop(
+        "robots_rules"
+    )
 
 
 def schedule(

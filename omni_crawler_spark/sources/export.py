@@ -17,6 +17,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def select_export_columns(
+    df: DataFrame,
+    required: list[str],
+    optional: list[str] | None = None,
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Schema-drift-tolerant projection, mirroring the reference's
+    information_schema column probing (data_exporter.py:259-293):
+    ``required`` columns must exist (loud KeyError otherwise — the
+    export contract), ``optional`` columns are included only when the
+    table actually has them, and ``defaults`` maps a column name to a
+    typed literal SQL expression used when the column is absent (the
+    reference's ``0 as content_length`` fallback). Catalyst prunes
+    the scan to exactly the selected columns."""
+    have = set(df.columns)
+    missing = [c for c in required if c not in have]
+    if missing:
+        raise KeyError(
+            f"export requires columns {missing} absent from schema "
+            f"{sorted(have)}"
+        )
+    cols = [F.col(c) for c in required]
+    for c in optional or []:
+        if c in have:
+            cols.append(F.col(c))
+    for c, expr in (defaults or {}).items():
+        if c not in have:
+            cols.append(F.expr(expr).alias(c))
+        elif c not in (optional or []) and c not in required:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
 def _flatten_arrays(df: DataFrame, sep: str = ";") -> DataFrame:
     """Join every array<string> column with ``sep`` (S9 semantics,
     data_exporter.py:61-64)."""

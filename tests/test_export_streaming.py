@@ -47,6 +47,43 @@ def test_export_dump_multi_table(spark, tmp_path, sf_dir):
     assert glob.glob(prefix + "/events/part-*")
 
 
+
+
+def test_select_export_columns_schema_drift(spark):
+    """The reference's exporter survives missing columns
+    (data_exporter.py:259-293): optional columns appear only when the
+    table has them, absent default columns get their typed fallback,
+    and a missing REQUIRED column fails loudly."""
+    import pytest
+
+    from omni_crawler_spark.sources.export import select_export_columns
+
+    full = spark.createDataFrame(
+        [(1, "t", "pos", 42)],
+        "article_id long, title string, sentiment_label string, "
+        "content_length long",
+    )
+    migrated = spark.createDataFrame(
+        [(2, "u")], "article_id long, title string"
+    )
+    kw = dict(
+        required=["article_id", "title"],
+        optional=["sentiment_label"],
+        defaults={"content_length": "CAST(0 AS BIGINT) AS content_length"},
+    )
+    a = select_export_columns(full, **kw)
+    assert a.columns == [
+        "article_id", "title", "sentiment_label", "content_length"
+    ]
+    assert a.collect()[0].content_length == 42
+    b = select_export_columns(migrated, **kw)
+    assert b.columns == ["article_id", "title", "content_length"]
+    assert b.collect()[0].content_length == 0
+    with pytest.raises(KeyError, match="export requires"):
+        select_export_columns(migrated, required=["article_id", "url"])
+
+
+
 def test_streaming_windowed_counts(spark, tmp_path, sf_dir):
     """File-stream the events table, drain with availableNow, and
     check the windowed result equals the batch equivalent."""

@@ -154,3 +154,102 @@ def test_robots_filter_from_raw_txt(spark):
     )
     kept = {r.url_canonical for r in P.robots_filter(f, hosts_txt).collect()}
     assert kept == {"https://slow.example.com/ok/x"}
+
+
+# -- full REP: User-agent groups + Allow precedence -------------------------
+
+
+def test_robots_group_selection_pure():
+    txt = (
+        "User-agent: omni-crawler-spark\n"
+        "Allow: /private/ok\n"
+        "Disallow: /private\n"
+        "Disallow: /tmp\n"
+        "\n"
+        "User-agent: omni\n"
+        "Disallow: /only-omni\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    # longest agent-token group wins for our UA (with a /version tail)
+    assert P.robots_rules_for_agent(txt, "omni-crawler-spark/1.0") == [
+        ("/private/ok", True),
+        ("/private", False),
+        ("/tmp", False),
+    ]
+    # a shorter token still beats '*'
+    assert P.robots_rules_for_agent(txt, "omni/2") == [("/only-omni", False)]
+    # unknown agents fall back to '*'
+    assert P.robots_rules_for_agent(txt, "googlebot") == [("/", False)]
+    # empty Disallow is the explicit allow-all rule
+    assert P.robots_rules_for_agent(
+        "User-agent: *\nDisallow:\n", "x"
+    ) == [("", True)]
+
+
+def test_robots_longest_match_allow_precedence(spark):
+    """RFC 9309 precedence: longest matching rule wins; Allow wins a
+    length tie; default allow."""
+    hosts_txt = spark.createDataFrame(
+        [(
+            "h.example.com",
+            "User-agent: *\n"
+            "Allow: /private/ok\n"
+            "Disallow: /private\n"
+            "Allow: /dup\n"
+            "Disallow: /dup\n",
+        )],
+        "host string, robots_txt string",
+    )
+    f = _frontier(
+        spark,
+        [
+            ("h.example.com", "/private/ok/page", 1),  # Allow longer → kept
+            ("h.example.com", "/private/no", 1),       # Disallow → dropped
+            ("h.example.com", "/dup/x", 1),            # tie → Allow wins
+            ("h.example.com", "/elsewhere", 1),        # no rule → kept
+        ],
+    )
+    kept = {
+        r.url_canonical.split(".com")[1]
+        for r in P.robots_filter(f, hosts_txt).collect()
+    }
+    assert kept == {"/private/ok/page", "/dup/x", "/elsewhere"}
+
+
+def test_robots_verdicts_match_urllib_robotparser(spark):
+    """Cross-check the engine's verdicts against Python's stdlib
+    robots parser on fixture files written in the standard
+    Allow-before-Disallow, specific-group-before-star order (where
+    first-match file order and RFC longest-match agree)."""
+    import urllib.robotparser as urp
+
+    fixtures = [
+        "User-agent: *\nDisallow: /private\nDisallow: /tmp/cache\n",
+        "User-agent: omni-crawler-spark\nAllow: /private/ok\n"
+        "Disallow: /private\n\nUser-agent: *\nDisallow: /\n",
+        "User-agent: *\nAllow: /a/b\nDisallow: /a\nDisallow: /c\n",
+        "User-agent: other-bot\nDisallow: /\n\nUser-agent: *\nDisallow:\n",
+    ]
+    paths = [
+        "/", "/private", "/private/ok", "/private/ok/deep", "/privateer",
+        "/tmp/cache/x", "/tmp", "/a", "/a/b/c", "/c/d", "/open/page",
+    ]
+    agent = P.ROBOTS_UA
+    for txt in fixtures:
+        rp = urp.RobotFileParser()
+        rp.parse(txt.splitlines())
+        want = {
+            p for p in paths
+            if rp.can_fetch(agent, f"https://h.example.com{p}")
+        }
+        hosts_txt = spark.createDataFrame(
+            [("h.example.com", txt)], "host string, robots_txt string"
+        )
+        f = _frontier(spark, [("h.example.com", p, 1) for p in paths])
+        got = {
+            r.url_canonical.split(".com", 1)[1]
+            for r in P.robots_filter(f, hosts_txt).collect()
+        }
+        assert got == want, txt
