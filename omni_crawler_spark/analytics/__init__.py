@@ -23,71 +23,70 @@ from omni_crawler_spark.analytics.registry import REGISTRY  # noqa: F401
 # Driver-window priority order.
 #
 # The correctness driver checks the FIRST 50 entries of queries() per
-# round (insertion order of REGISTRY). Rounds 1-2 hard-verified the
-# long-standing core queries; the entries below had only local-mimic
-# evidence through round 2, so they are pulled to the front of the
-# window for round 3 (never-driver-checked oracle-paired queries
-# first, then never-checked rows-only ones, then this round's new
-# queries). Everything else keeps its registration order behind them
-# — the driver re-checks ~20 of the prior greens each round.
+# round (insertion order of REGISTRY). Round-4 rotation policy: lead
+# with the queries whose code/plan/persisted-state changed THIS round
+# (the driver must re-verify them), then the oracle-paired queries
+# whose newest driver green is oldest (the round-2 set — round 3
+# re-checked everything else). After this round no oracle-paired
+# query's newest driver green predates r03. Absent names are skipped,
+# so the list is safe against renames.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # never driver-checked through r2, oracle-paired
-    "sim_topk_cosine",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    "source_rss_parse",
-    "source_sitemap_parse",
-    "scalar_html_extract",
-    "scalar_datetime_parse",
-    "join_semi_recent",
-    "clean_main_content",
-    "alerts_eval",
-    "alerts_cooldown_bucket",
-    "window_tumbling_hourly",
-    "window_trailing_recent",
-    "search_rank",
-    "validator_score",
-    "enrich_entities_regex",
-    "window_history_trim",
-    # never driver-checked through r2, rows-only by design
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_pq_topk",
-    "dedup_embedding_pipeline",
-    "agg_approx_distinct",
-    "alerts_cooldown_greedy",
-    # new in round 3 (registered by the modules above; absent names
-    # are skipped, so this list is safe against renames)
-    "search_sorted_quality",
-    "search_sorted_date",
-    "dedup_cluster_cc_star",
-    "pipeline_training_data",
-    "pipeline_multimodal",
-    "text_langid_ngram",
-    "tpch_q5_local_supplier",
-    "text_embed_ann",
-    "dedup_passage",
-    "search_bm25",
-    "sample_stratified",
-    "graph_pagerank",
-    "corpus_quantiles",
-    "window_topk_salted",
-    "join_bucketed_colocated",
-    "dedup_incremental_batch",
-    "corpus_chunk_windows",
-    "sim_ivf_incremental",
-    "filter_decontaminate",
-    "pipeline_pretrain_corpus",
-    "layout_partition_prune",
-    "tpch_q3_shipping",
-    # plan changed in round 3 (multi_match now probes the inverted
-    # index) — keep inside the window so the driver re-verifies it
+    # changed in round 4: persisted search index, hashed+capped
+    # passage dedup, PageRank oracle constant, new verify query,
+    # fingerprint-keyed cache roots (fresh persisted state)
     "search_fulltext",
+    "dedup_passage",
+    "graph_pagerank",
+    "dedup_minhash_verify",
+    "dedup_incremental_batch",
+    "sim_ivf_incremental",
+    "join_bucketed_colocated",
+    "layout_partition_prune",
+    "sample_stratified",
+    # newest driver green is round 2 — oracle-paired, oldest first
+    "text_token_count",
+    "search_highlight",
+    "search_facets",
+    "agg_count_distinct",
+    "agg_multi_stat",
+    "agg_by_category",
+    "agg_domain_topn",
+    "agg_daily_counts",
+    "agg_pivot_daily_type",
+    "agg_word_topk",
+    "agg_quality_buckets",
+    "agg_success_rate",
+    "agg_search_analytics",
+    "window_recent_100",
+    "window_topk",
+    "window_pagination",
+    "window_per_group_topk",
+    "join_fact_dim",
+    "join_lineitem_part",
+    "dedup_exact_hash",
+    "set_union",
+    "tpch_q1_pricing",
+    "url_canonicalize",
+    "frontier_seen_antijoin",
+    "frontier_priority_order",
+    "filter_content_quality",
+    "scalar_hash_ids",
+    "enrich_doc_profile",
+    "enrich_sentiment",
+    "enrich_categorize",
+    "enrich_quality_rubric",
+    "enrich_confidence",
+    "text_fingerprint",
+    "json_extract_props",
+    "window_moving_avg",
+    "agg_cube",
+    "set_intersect_except",
+    "join_range_bucket",
+    "join_asof_last_error",
+    "scalar_excerpt",
+    "dedup_ngram_jaccard",
 ]
 
 

@@ -49,8 +49,9 @@ def test_entry_contract(spark):
 
 def test_driver_window_covers_unchecked_queries():
     """The correctness driver checks the FIRST 50 queries() entries
-    per round. Everything that had only local-mimic evidence through
-    round 2 must sit inside that window."""
+    per round. Every name in the rotation priority list (this round's
+    changed queries + the stalest prior driver greens) must sit
+    inside that window."""
     from omni_crawler_spark.analytics import _DRIVER_WINDOW_PRIORITY
 
     names = list(REGISTRY)
