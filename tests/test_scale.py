@@ -117,8 +117,10 @@ def test_bucketed_layout_spec_mismatch_triggers_rewrite(spark):
 
     from omni_crawler_spark.analytics import registry_scale as RS
 
+    from omni_crawler_spark.analytics.registry import cache_tag
+
     li_count = RS._bucketed_table(spark, SF, "lineitem", "l_orderkey").count()
-    tag = SF.strip("/").replace("/", "_").replace(".", "_")
+    tag = cache_tag(SF)
     path = f"{RS._BUCKET_ROOT}/{tag}/lineitem"
     marker = f"{path}/_layout_spec.json"
     assert json.load(open(marker)) == {
