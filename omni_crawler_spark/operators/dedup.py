@@ -351,18 +351,33 @@ def passage_dup_pairs(
             .select("ph")
         )
         p = p.join(F.broadcast(oversized), "ph", "left_anti")
-    a, b = p.alias("a"), p.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.ph") == F.col("b.ph"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # bucket expansion instead of a self-join: ONE shuffle of the
+    # chunk keys builds each passage's (cap-bounded) sorted id list,
+    # pairs expand executor-side via posexplode+slice — the self-join
+    # alternative shuffles the chunk set twice (once per side). The
+    # sorted-multiset expansion reproduces the join's multiplicity
+    # exactly (docs sharing k passages pair k times; a doc repeating
+    # a passage internally multiplies like the join would), so the
+    # DuckDB join-based oracle stays value-identical.
+    buckets = (
+        p.groupBy("ph")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "ids", F.col("_i") + 2, F.greatest(F.lit(0), F.size("ids"))
+                )
+            ).alias("id_b"),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_passages"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared_passages")
     )
 
 
