@@ -48,6 +48,13 @@ class CommitConflict(RuntimeError):
     """Another writer published the version this commit targeted."""
 
 
+class _OpAlreadyCommitted(Exception):
+    """Raised inside _commit when the newest manifest already carries
+    this op_id — a concurrent writer won the same idempotent op
+    between the caller's precheck and the commit (TOCTOU). Callers
+    translate it into a no-op return."""
+
+
 class SnapshotTable:
     """``key``/``on_conflict`` give the table keyed MERGE semantics
     (merge-on-read): ``upsert`` appends rows tagged with their commit
@@ -143,6 +150,13 @@ class SnapshotTable:
         version = self.current_version() + 1
         op_versions = self._op_versions()
         if op_id is not None:
+            # final idempotency check against the NEWEST manifest,
+            # made airtight by the atomic link below: if a concurrent
+            # writer commits our op_id after this read, our link
+            # targets a version that now exists and fails with
+            # CommitConflict — the retry then lands here and no-ops.
+            if op_id in op_versions:
+                raise _OpAlreadyCommitted(op_id)
             op_versions = {**op_versions, op_id: version}
         manifest = {
             "version": version,
@@ -232,6 +246,8 @@ class SnapshotTable:
                 )
             except CommitConflict:
                 continue
+            except _OpAlreadyCommitted:
+                return self.current_version()
         raise CommitConflict(
             f"append to {self.name} lost 100 consecutive commit races"
         )
@@ -241,10 +257,13 @@ class SnapshotTable:
             return self.current_version()
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(new_dir)
-        return self._commit(
-            [new_dir], "overwrite", op_id,
-            dir_schemas={new_dir: df.schema.json()},
-        )
+        try:
+            return self._commit(
+                [new_dir], "overwrite", op_id,
+                dir_schemas={new_dir: df.schema.json()},
+            )
+        except _OpAlreadyCommitted:
+            return self.current_version()
 
     def upsert(self, df: DataFrame, op_id: str | None = None) -> int:
         """Keyed MERGE: append ``df`` tagged with its commit version;
@@ -269,10 +288,13 @@ class SnapshotTable:
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         cur = self.read(spark, _resolve=False)
         cur.write.mode("overwrite").parquet(new_dir)
-        return self._commit(
-            [new_dir], "rewrite", op_id,
-            dir_schemas={new_dir: cur.schema.json()},
-        )
+        try:
+            return self._commit(
+                [new_dir], "rewrite", op_id,
+                dir_schemas={new_dir: cur.schema.json()},
+            )
+        except _OpAlreadyCommitted:
+            return self.current_version()
 
     def compact(self, spark: SparkSession, op_id: str | None = None) -> int:
         """Rewrite the resolved view as a single snapshot (keyed
@@ -287,10 +309,13 @@ class SnapshotTable:
         resolved = self._resolve(self.read(spark, _resolve=False), keep_v=True)
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         resolved.write.mode("overwrite").parquet(new_dir)
-        return self._commit(
-            [new_dir], "compact", op_id,
-            dir_schemas={new_dir: resolved.schema.json()},
-        )
+        try:
+            return self._commit(
+                [new_dir], "compact", op_id,
+                dir_schemas={new_dir: resolved.schema.json()},
+            )
+        except _OpAlreadyCommitted:
+            return self.current_version()
 
     # -- reads ---------------------------------------------------------------
 

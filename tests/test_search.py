@@ -204,3 +204,28 @@ def test_search_index_params_marker(docs, tmp_path):
     SearchIndex(str(tmp_path / "ix"))
     with pytest.raises(ValueError, match="built with"):
         SearchIndex(str(tmp_path / "ix"), fields={"title": 10})
+
+
+def test_search_index_concurrent_bootstrap(docs, tmp_path):
+    """Two sessions racing the same idempotent bootstrap commit
+    exactly ONE snapshot: the commit-race loser retries, sees the
+    winner's op_id, and no-ops (optimistic concurrency end-to-end —
+    the bench-vs-pytest concurrent-bootstrap scenario)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from omni_crawler_spark.search_index import SearchIndex
+
+    spark = docs.sparkSession
+    root = str(tmp_path / "ix")
+
+    def boot(_):
+        ix = SearchIndex(root)
+        ix.bootstrap(spark, docs, op_id="boot")
+        return ix.table.current_version()
+
+    with ThreadPoolExecutor(2) as ex:
+        versions = list(ex.map(boot, range(2)))
+    assert versions == [1, 1]
+    ix = SearchIndex(root)
+    assert ix.table.current_version() == 1
+    assert {r.doc_id for r in ix.query(spark, "market").collect()} == {1, 3, 4}
