@@ -57,6 +57,8 @@ HEADLINE = [
     "corpus_chunk_windows",
     "sim_ivf_incremental",
     "filter_decontaminate",
+    "filter_gopher_quality",
+    "corpus_mix_weights",
     "pipeline_pretrain_corpus",
     "layout_partition_prune",
     "tpch_q3_shipping",

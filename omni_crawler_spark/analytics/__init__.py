@@ -40,6 +40,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_passage",
     "graph_pagerank",
     "dedup_minhash_verify",
+    "filter_gopher_quality",
+    "corpus_mix_weights",
     "dedup_incremental_batch",
     "sim_ivf_incremental",
     "join_bucketed_colocated",
@@ -84,8 +86,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_cube",
     "set_intersect_except",
     "join_range_bucket",
-    "join_asof_last_error",
-    "scalar_excerpt",
     "dedup_ngram_jaccard",
 ]
 

@@ -751,3 +751,149 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, the published repetition/shape
+# filters every pretraining pipeline applies before training)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_gopher_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             ROUND(CAST(list_sum(list_transform(ws, x -> len(x)))
+                        AS DOUBLE) / len(ws), 4) AS mean_word_len,
+             ROUND(CAST(len(list_filter(ws,
+                        x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(ws), 4) AS alpha_frac,
+             CASE WHEN len(ws) >= 2 THEN
+               ROUND(CAST(len(ws) - 1 - len(list_distinct(
+                 list_transform(generate_series(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1])))
+                 AS DOUBLE) / (len(ws) - 1), 4)
+             ELSE 0.0 END AS dup_bigram_frac
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, dup_bigram_frac,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3 AND 10
+                 AND alpha_frac >= 0.8
+                 AND dup_bigram_frac <= 0.6
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM sig ORDER BY doc_id
+    """,
+    doc="Gopher quality rules (Rae et al. 2021 §A1.1, the published "
+    "pretraining filter battery): per-doc word count bounds, mean "
+    "word length [3,10], fraction-of-words-with-an-alphabetic-char "
+    ">=0.8, and the repetition signal (duplicate word-bigram "
+    "fraction) — every signal value AND the keep/drop verdict "
+    "value-hash-checked against the DuckDB twin. Thresholds compare "
+    "the ROUNDED signals on both engines so boundary docs cannot "
+    "flake. 100 TB shape: pure per-row codegen/HOF expressions over "
+    "the scan — embarrassingly parallel, zero shuffle before the "
+    "ordered output; the verdict column is exactly the predicate "
+    "a corpus build pushes into its first filter stage",
+)
+def filter_gopher_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    n = F.size(ws)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.round(sum_len.cast("double") / n, 4)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.round(alpha.cast("double") / n, 4)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+        ),
+    )
+    dup_frac = F.when(
+        n >= 2,
+        F.round(
+            (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast(
+                "double"
+            )
+            / F.size(bigrams),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    sig = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+    verdict = F.when(
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("dup_bigram_frac") <= 0.6),
+        F.lit("keep"),
+    ).otherwise(F.lit("drop"))
+    return sig.withColumn("verdict", verdict).orderBy("doc_id")
+
+
+@register(
+    "corpus_mix_weights",
+    """
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT SUM(n_tokens) AS total, COUNT(*) AS k FROM t
+    )
+    SELECT t.source, t.n_tokens,
+           ROUND(CAST(t.n_tokens AS DOUBLE) / s.total, 4) AS actual_share,
+           ROUND(1.0 / s.k, 4) AS target_share,
+           ROUND((CAST(s.total AS DOUBLE) / s.k) / t.n_tokens, 4)
+             AS sample_weight
+    FROM t, s ORDER BY t.source
+    """,
+    doc="corpus mixture reweighting — the sampling-weight table a "
+    "training-data pipeline derives before drawing a mixture: exact "
+    "per-source token counts, actual vs target (uniform) share, and "
+    "the per-source sampling weight (target tokens / actual tokens, "
+    ">1 = upsample) that makes the drawn mixture hit the target. "
+    "Token counts are integer-exact; shares/weights are divisions of "
+    "those integers so the IEEE doubles agree cross-engine. 100 TB "
+    "shape: one partial-aggregated groupBy on source (tiny key "
+    "space), corpus stats broadcast back — the same "
+    "crossJoin(broadcast(single-row)) shape as BM25's stats",
+)
+def corpus_mix_weights(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    s = t.agg(
+        F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        t.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 4)
+                .alias("actual_share"),
+            F.round(F.lit(1.0) / F.col("k"), 4).alias("target_share"),
+            F.round(
+                (F.col("total").cast("double") / F.col("k"))
+                / F.col("n_tokens"),
+                4,
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )

@@ -172,3 +172,35 @@ def test_decontaminate_flags_known_cliques(spark):
     assert {50, 82, 12, 114} <= flagged  # cliques of eval docs 0/8/89
     assert flagged.isdisjoint({0, 8, 89})
     assert all(r.n_hit_grams > 0 for r in rows)
+
+
+def test_gopher_rules_verdict_semantics(spark):
+    """Verdict must be exactly the conjunction of the rounded-signal
+    thresholds, and short docs (<50 words) must drop."""
+    rows = REGISTRY["filter_gopher_quality"].build(spark, SF).collect()
+    assert len(rows) > 0
+    seen = {r.verdict for r in rows}
+    assert seen == {"keep", "drop"}  # corpus genuinely splits
+    for r in rows:
+        want = (
+            50 <= r.n_words <= 100000
+            and 3 <= r.mean_word_len <= 10
+            and r.alpha_frac >= 0.8
+            and r.dup_bigram_frac <= 0.6
+        )
+        assert (r.verdict == "keep") == want, r
+        assert 0.0 <= r.dup_bigram_frac < 1.0
+
+
+def test_mix_weights_recover_target_mixture(spark):
+    """sample_weight × actual tokens must equal the uniform target
+    share of the total for every source (that is the definition of a
+    reweighting), and weights must upsample scarce sources."""
+    rows = REGISTRY["corpus_mix_weights"].build(spark, SF).collect()
+    total = sum(r.n_tokens for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert abs(r.sample_weight * r.n_tokens - total / k) / (total / k) < 1e-3
+    scarcest = min(rows, key=lambda r: r.n_tokens)
+    richest = max(rows, key=lambda r: r.n_tokens)
+    assert scarcest.sample_weight >= richest.sample_weight
