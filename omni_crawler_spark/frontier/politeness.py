@@ -55,58 +55,87 @@ def parse_robots_txt(robots_txt: "F.Column") -> "F.Column":
 
 def parse_robots_groups(
     text: str,
-) -> list[tuple[list[str], list[tuple[str, bool]]]]:
-    """robots.txt → [(agents, [(path, allow), ...]), ...] with
-    urllib.robotparser's grouping rules: consecutive User-agent lines
-    head a group; a User-agent line after rules starts a new group;
-    blank lines end a group; ``#`` starts a comment. An empty
-    Disallow value is the explicit allow-all rule (path '', allow)."""
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+) -> list[tuple[list[str], list[tuple[str, bool]], float | None]]:
+    """robots.txt → [(agents, [(path, allow), ...], crawl_delay_sec),
+    ...] with urllib.robotparser's grouping rules: consecutive
+    User-agent lines head a group; a User-agent line after rules
+    starts a new group; blank lines end a group; ``#`` starts a
+    comment. An empty Disallow value is the explicit allow-all rule
+    (path '', allow). ``Crawl-delay`` (the de-facto extension the
+    reference's config flag stood in for) is captured per group."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     agents: list[str] = []
     rules: list[tuple[str, bool]] = []
+    delay: float | None = None
+
+    def _flush():
+        nonlocal agents, rules, delay
+        if agents and (rules or delay is not None):
+            groups.append((agents, rules, delay))
+        agents, rules, delay = [], [], None
+
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
-            if agents and rules:
-                groups.append((agents, rules))
-                agents, rules = [], []
+            _flush()
             continue
         if ":" not in line:
             continue
         key, val = line.split(":", 1)
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            if rules:
-                groups.append((agents, rules))
-                agents, rules = [], []
+            if rules or delay is not None:
+                _flush()
             agents.append(val.lower())
         elif key in ("allow", "disallow") and agents:
             # empty value: no-op Allow / explicit allow-all Disallow
             rules.append((val, key == "allow" or val == ""))
-    if agents and rules:
-        groups.append((agents, rules))
+        elif key == "crawl-delay" and agents:
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    _flush()
     return groups
 
 
-def robots_rules_for_agent(
-    text: str, agent: str = ROBOTS_UA
-) -> list[tuple[str, bool]]:
-    """The rule list governing ``agent``: the group whose User-agent
+def _group_for_agent(text: str, agent: str):
+    """The group governing ``agent``: the group whose User-agent
     token is the LONGEST substring of the agent's product token wins;
     ``*`` is the fallback (specificity 0). Matches
     urllib.robotparser's applies_to check with RFC 9309's
     most-specific-group selection."""
     product = agent.split("/")[0].lower()
-    best: list[tuple[str, bool]] | None = None
+    best = None
     best_len = -1
-    for agents, rules in parse_robots_groups(text):
-        for a in agents:
+    for group in parse_robots_groups(text):
+        for a in group[0]:
             if a == "*":
                 if best_len < 0:
-                    best, best_len = rules, 0
+                    best, best_len = group, 0
             elif a in product and len(a) > best_len:
-                best, best_len = rules, len(a)
-    return list(best or [])
+                best, best_len = group, len(a)
+    return best
+
+
+def robots_rules_for_agent(
+    text: str, agent: str = ROBOTS_UA
+) -> list[tuple[str, bool]]:
+    """The Allow/Disallow rule list governing ``agent``."""
+    g = _group_for_agent(text, agent)
+    return list(g[1]) if g else []
+
+
+def robots_crawl_delay_ms(
+    text: str, agent: str = ROBOTS_UA
+) -> int | None:
+    """The governing group's Crawl-delay in milliseconds, or None
+    when the file sets none — feeds the scheduler's per-host
+    crawl_delay_ms budget (urllib.robotparser.crawl_delay analog)."""
+    g = _group_for_agent(text, agent)
+    if g is None or g[2] is None:
+        return None
+    return int(g[2] * 1000)
 
 
 def robots_rules_udf(agent: str = ROBOTS_UA):
@@ -211,7 +240,27 @@ def schedule(
 
     Output adds: lane:int, crawl_seq:long (1-based within host+lane),
     start_ms:long, scheduled:boolean(start_ms < budget).
+
+    A hosts dim carrying only raw ``robots_txt`` gets its
+    ``crawl_delay_ms`` from the file's Crawl-delay directive (per our
+    agent's governing group; Arrow UDF over the dim only), falling
+    back to the default budget when the file sets none.
     """
+    if "crawl_delay_ms" not in hosts.columns and "robots_txt" in hosts.columns:
+
+        @pandas_udf("int")
+        def delay_ms(texts: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None if t is None else robots_crawl_delay_ms(t)
+                    for t in texts
+                ],
+                dtype="Int32",
+            )
+
+        hosts = hosts.withColumn("crawl_delay_ms", delay_ms(F.col("robots_txt")))
+    if "max_parallel" not in hosts.columns:
+        hosts = hosts.withColumn("max_parallel", F.lit(None).cast("int"))
     f = frontier.join(
         F.broadcast(hosts.select("host", "crawl_delay_ms", "max_parallel")),
         "host",

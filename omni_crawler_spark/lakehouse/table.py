@@ -331,17 +331,25 @@ class SnapshotTable:
         )
         return out if keep_v else out.drop("_v")
 
+    def _prev_dirs(self, version: int) -> set[str]:
+        """Data dirs of ``version - 1``, or empty when there is no
+        predecessor — including when it was expired by
+        ``expire_snapshots`` (the oldest surviving version then
+        reports its full contents as its own delta)."""
+        if version <= 1:
+            return set()
+        try:
+            return set(self._read_manifest(version - 1)["data_dirs"])
+        except FileNotFoundError:
+            return set()
+
     def delta_bytes(self, version: int) -> int:
         """Bytes written by ``version`` (the files of its NEW data
         dirs) — the write-amplification gauge: an incremental append
         reports the delta's bytes, an overwrite/compact reports the
         full rewrite."""
         cur = self._read_manifest(version)["data_dirs"]
-        prev = (
-            set(self._read_manifest(version - 1)["data_dirs"])
-            if version > 1
-            else set()
-        )
+        prev = self._prev_dirs(version)
         total = 0
         for d in cur:
             if d in prev:
@@ -359,11 +367,7 @@ class SnapshotTable:
         import pyarrow.parquet as pq
 
         cur = self._read_manifest(version)["data_dirs"]
-        prev = (
-            set(self._read_manifest(version - 1)["data_dirs"])
-            if version > 1
-            else set()
-        )
+        prev = self._prev_dirs(version)
         total = 0
         for d in cur:
             if d in prev:
@@ -382,12 +386,7 @@ class SnapshotTable:
         a cycle that needs just-its-own commit reads O(commit), never
         O(history), and no footer listing of prior dirs happens."""
         cur = self._read_manifest(version)["data_dirs"]
-        prev = (
-            self._read_manifest(version - 1)["data_dirs"]
-            if version > 1
-            else []
-        )
-        delta = [d for d in cur if d not in set(prev)]
+        delta = [d for d in cur if d not in self._prev_dirs(version)]
         if not delta:
             raise ValueError(f"version {version} added no data dirs")
         return spark.read.parquet(*delta)
@@ -459,3 +458,59 @@ class SnapshotTable:
 
     def is_empty(self) -> bool:
         return self.current_version() == 0
+
+    # -- maintenance ---------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Drop manifests older than the newest ``keep_last`` and
+        delete data dirs no surviving manifest references — Iceberg's
+        ``expire_snapshots``: bounds driver-side snapshot listing and
+        disk growth over a long crawl (the 10^4-commit horizon the
+        op-map docstring flags). Time travel remains valid within the
+        retention window; the op_versions idempotency map lives in
+        the NEWEST manifest, so replay protection is unaffected.
+        Returns {'expired_manifests': n, 'deleted_dirs': n}."""
+        import shutil
+
+        files = self._snapshot_files()
+        if len(files) <= keep_last:
+            return {"expired_manifests": 0, "deleted_dirs": 0}
+        keep = files[-keep_last:]
+        expire = files[:-keep_last]
+        live: set[str] = set()
+        for f in keep:
+            live.update(self._read_manifest(int(f.split(".")[0]))["data_dirs"])
+        doomed: set[str] = set()
+        for f in expire:
+            doomed.update(
+                self._read_manifest(int(f.split(".")[0]))["data_dirs"]
+            )
+        deleted = 0
+        for d in doomed - live:
+            shutil.rmtree(d, ignore_errors=True)
+            deleted += 1
+        for f in expire:
+            os.unlink(os.path.join(self.root, "snapshots", f))
+        return {"expired_manifests": len(expire), "deleted_dirs": deleted}
+
+    def remove_orphans(self) -> int:
+        """Delete data dirs referenced by NO manifest — the residue of
+        lost commit races (a loser's parquet write that resolved to a
+        no-op) and of writes killed before their commit. Safe by the
+        manifest invariant: an unreferenced dir is invisible to every
+        reader at every version. Returns the number removed."""
+        import shutil
+
+        referenced: set[str] = set()
+        for f in self._snapshot_files():
+            referenced.update(
+                self._read_manifest(int(f.split(".")[0]))["data_dirs"]
+            )
+        data_root = os.path.join(self.root, "data")
+        removed = 0
+        for d in os.listdir(data_root):
+            full = os.path.join(data_root, d)
+            if full not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return removed

@@ -250,3 +250,48 @@ def test_compact_preserves_resolved_view(spark, tmp_path):
     # and further upserts still resolve on top of the compacted base
     t.upsert(spark.createDataFrame([("u1", 777)], "url string, quality int"))
     assert ("u1", 777) in _rows(t, spark)
+
+
+def test_expire_snapshots_bounds_history(spark, tmp_path):
+    """Iceberg expire_snapshots: old manifests + their exclusive data
+    dirs are deleted; reads at surviving versions are unchanged and
+    op-id replay protection (newest-manifest map) still works."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i in range(8):
+        t.append(spark.range(i * 10, i * 10 + 3), op_id=f"op-{i}")
+    before = sorted(r.id for r in t.read(spark).collect())
+    stats = t.expire_snapshots(keep_last=3)
+    assert stats["expired_manifests"] == 5
+    # appends accumulate dirs, so every old dir is still referenced
+    # by the newest manifests — nothing deletable yet
+    assert stats["deleted_dirs"] == 0
+    assert sorted(r.id for r in t.read(spark).collect()) == before
+    assert len(t._snapshot_files()) == 3
+    assert t.committed_op_ids() == {f"op-{i}" for i in range(8)}
+    # replaying an expired-era op is still a no-op
+    v = t.current_version()
+    assert t.append(spark.range(0, 3), op_id="op-0") == v
+    # after a rewrite (one fused dir), expiry CAN reclaim old dirs
+    t.rewrite(spark, op_id="rw")
+    stats2 = t.expire_snapshots(keep_last=1)
+    assert stats2["deleted_dirs"] == 8  # the 8 pre-rewrite append dirs
+    assert sorted(r.id for r in t.read(spark).collect()) == before
+    # delta of the oldest surviving version tolerates the expired
+    # predecessor (reports its full contents as its own delta)
+    assert t.read_delta(spark, t.current_version()).count() == len(before)
+
+
+def test_remove_orphans_only_unreferenced(spark, tmp_path):
+    """Orphan cleanup deletes exactly the dirs no manifest references
+    (lost-race residue), never committed data."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 4), op_id="a")
+    # simulate a lost race: a data dir written but never committed
+    orphan = str(tmp_path / "t" / "data" / "deadbeefcafe")
+    spark.range(100, 105).write.parquet(orphan)
+    assert t.remove_orphans() == 1
+    assert not os.path.isdir(orphan)
+    assert t.read(spark).count() == 4
+    assert t.remove_orphans() == 0

@@ -253,3 +253,49 @@ def test_robots_verdicts_match_urllib_robotparser(spark):
             for r in P.robots_filter(f, hosts_txt).collect()
         }
         assert got == want, txt
+
+
+def test_crawl_delay_parsing_pure():
+    txt = (
+        "User-agent: omni-crawler-spark\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 10\n"
+        "Disallow: /\n"
+    )
+    assert P.robots_crawl_delay_ms(txt, "omni-crawler-spark/1.0") == 2500
+    assert P.robots_crawl_delay_ms(txt, "googlebot") == 10000
+    assert P.robots_crawl_delay_ms("User-agent: *\nDisallow: /x\n") is None
+    # a delay-only group (no rules) still governs
+    assert P.robots_crawl_delay_ms("User-agent: *\nCrawl-delay: 1\n") == 1000
+    # and the rules parse is unaffected by the delay line
+    assert P.robots_rules_for_agent(txt, "omni-crawler-spark") == [
+        ("/x", False)
+    ]
+
+
+def test_schedule_uses_robots_crawl_delay(spark):
+    """A hosts dim with only raw robots_txt: the scheduler spaces
+    lanes by the file's Crawl-delay (2 s here), default 500 ms when
+    the directive is absent."""
+    hosts_txt = spark.createDataFrame(
+        [
+            ("slowed.example.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /p\n"),
+            ("plain.example.com", "User-agent: *\nDisallow: /p\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    f = _frontier(
+        spark,
+        [("slowed.example.com", f"/a{i}", 1) for i in range(3)]
+        + [("plain.example.com", f"/b{i}", 1) for i in range(3)],
+    )
+    out = P.schedule(f, hosts_txt, cycle_budget_ms=10**9).collect()
+    slowed = sorted(
+        r.start_ms for r in out if r.host == "slowed.example.com"
+    )
+    plain = sorted(r.start_ms for r in out if r.host == "plain.example.com")
+    assert slowed == [0, 2000, 4000]
+    assert plain == [0, 500, 1000]
