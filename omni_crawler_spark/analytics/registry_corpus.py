@@ -795,45 +795,28 @@ def pipeline_pretrain_corpus(spark, sf_dir):
     "fraction) — every signal value AND the keep/drop verdict "
     "value-hash-checked against the DuckDB twin. Thresholds compare "
     "the ROUNDED signals on both engines so boundary docs cannot "
-    "flake. 100 TB shape: pure per-row codegen/HOF expressions over "
-    "the scan — embarrassingly parallel, zero shuffle before the "
-    "ordered output; the verdict column is exactly the predicate "
-    "a corpus build pushes into its first filter stage",
+    "flake. 100 TB shape: signals come from ONE Arrow-vectorized "
+    "kernel pass over the scan (the pure-HOF column version measured "
+    "18.5 s at sf0.1 — Spark never codegens HOF lambdas, so six "
+    "nested interpreted HOFs per row lose to an Arrow batch by ~15x, "
+    "the round-1 interpreted-after-UDF lesson); rounding stays "
+    "JVM-side (F.round half-up ≡ DuckDB ROUND) so values are "
+    "bit-identical to the SQL twin. Embarrassingly parallel, zero "
+    "shuffle before the ordered output; the verdict column is exactly "
+    "the predicate a corpus build pushes into its first filter stage",
 )
 def filter_gopher_quality(spark, sf_dir):
+    from omni_crawler_spark.operators.quality import gopher_signals_udf
+
     d = _t(spark, sf_dir, "documents")
-    ws = F.split(F.lower(F.col("text")), " ")
-    n = F.size(ws)
-    sum_len = F.aggregate(
-        F.transform(ws, lambda w: F.length(w)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    mean_len = F.round(sum_len.cast("double") / n, 4)
-    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
-    alpha_frac = F.round(alpha.cast("double") / n, 4)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat(
-            F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
-        ),
-    )
-    dup_frac = F.when(
-        n >= 2,
-        F.round(
-            (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast(
-                "double"
-            )
-            / F.size(bigrams),
-            4,
-        ),
-    ).otherwise(F.lit(0.0))
     sig = d.select(
+        "doc_id", gopher_signals_udf()(F.col("text")).alias("g")
+    ).select(
         "doc_id",
-        n.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        dup_frac.alias("dup_bigram_frac"),
+        F.col("g.n_words").alias("n_words"),
+        F.round(F.col("g.mean_raw"), 4).alias("mean_word_len"),
+        F.round(F.col("g.alpha_raw"), 4).alias("alpha_frac"),
+        F.round(F.col("g.dup_raw"), 4).alias("dup_bigram_frac"),
     )
     verdict = F.when(
         F.col("n_words").between(50, 100000)
