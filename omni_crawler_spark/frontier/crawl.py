@@ -48,6 +48,7 @@ class CrawlEngine:
         maintain_articles: bool = False,
         maintain_index: bool = False,
         frontier_compact_every: int = 8,
+        retention_keep_last: int | None = None,
     ):
         self.warehouse = warehouse
         self.num_buckets = num_buckets
@@ -59,6 +60,14 @@ class CrawlEngine:
         # to bound the log scan. 1 = compact every cycle (the round-2
         # full-overwrite behavior, kept for equivalence tests).
         self.frontier_compact_every = max(1, frontier_compact_every)
+        # snapshot retention window (manifests kept after each
+        # compaction-cycle maintenance pass); must cover the
+        # crash-replay horizon — default several compaction periods
+        self.retention_keep_last = (
+            retention_keep_last
+            if retention_keep_last is not None
+            else max(16, 2 * self.frontier_compact_every)
+        )
         self.frontier = SnapshotTable(os.path.join(warehouse, "frontier"), "frontier")
         self.seen = SnapshotTable(os.path.join(warehouse, "seen"), "seen")
         self.fetched = SnapshotTable(os.path.join(warehouse, "fetched"), "fetched")
@@ -406,6 +415,19 @@ class CrawlEngine:
             ),
             op_id=f"{op}-lineage-frontier",
         )
+
+        # retention maintenance on the compaction cadence (after the
+        # lineage delta accounting, which may read the predecessor
+        # manifest): expire manifests past the crash-replay window and
+        # reclaim lost-commit-race orphan dirs. The op_versions map
+        # rides the NEWEST manifest, so idempotent replay of recent
+        # cycles is unaffected; keep_last is sized to several
+        # compaction periods so time travel covers the replay horizon.
+        if is_compact:
+            self.frontier.expire_snapshots(
+                keep_last=self.retention_keep_last
+            )
+            self.frontier.remove_orphans()
 
         stats["n_scheduled"] = plan.filter(F.col("scheduled")).count()
         stats["n_stored"] = int(

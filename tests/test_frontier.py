@@ -458,3 +458,30 @@ def test_recrawl_updates_articles_in_place(spark, tmp_path):
     )
     # resolve picks max _v per key, and cycle-2 commits have higher _v
     assert stale.count() == 0
+
+
+def test_retention_bounds_manifests_preserves_crawl(spark, tmp_path):
+    """Compaction-cycle retention (expire_snapshots + remove_orphans)
+    bounds the frontier's manifest count over a long drain WITHOUT
+    changing what gets crawled: same crawl order and seen set as an
+    engine that never expires, and replaying the last cycle after
+    retention is still a no-op."""
+    outs = []
+    for name, keep in (("keepall", None), ("tight", 2)):
+        eng = CrawlEngine(
+            str(tmp_path / name),
+            cycle_budget_ms=4000,
+            frontier_compact_every=1,  # maintenance every cycle
+            retention_keep_last=keep if keep else 10**6,
+        )
+        eng.bootstrap(generate_seeds(spark, 400), generate_hosts(spark))
+        for c in (1, 2, 3, 4):
+            eng.run_cycle(spark, c, collect_stats=False)
+        outs.append(_order_and_seen(spark, eng))
+        if keep:
+            assert len(eng.frontier._snapshot_files()) <= 2
+            # replay of the newest cycle is still a no-op after expiry
+            v = eng.frontier.current_version()
+            eng.run_cycle(spark, 4, collect_stats=False)
+            assert eng.frontier.current_version() == v
+    assert outs[0] == outs[1]
