@@ -50,8 +50,11 @@ REGISTRY: dict[str, Query] = {}
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         # A silent dict overwrite would let import order pick which
-        # implementation serves a CORRECTNESS key — fail loudly instead.
-        assert name not in REGISTRY, f"duplicate query registration: {name}"
+        # implementation serves a CORRECTNESS key — fail loudly
+        # (an explicit raise, not assert: python -O must not restore
+        # the silent-overwrite behavior).
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -69,15 +72,17 @@ def cache_tag(sf_dir: str) -> str:
     mtime_ns of every file — a driver-side stat walk, no data read).
     Regenerating the data at ``sf_dir`` changes the tag, so a stale
     persisted index can never be silently served against new source
-    bytes (the old root is simply orphaned). Two sessions over
-    identical bytes share a root; their bootstrap race resolves via
-    idempotent op_ids + optimistic commit retry (lakehouse/table.py)."""
+    bytes. Two sessions over identical bytes share a root; their
+    bootstrap race resolves via idempotent op_ids + optimistic commit
+    retry (lakehouse/table.py). Use :func:`cache_root` (not raw
+    string concatenation) to place state under a tag — it prunes the
+    superseded fingerprints of the same source so repeated data
+    regeneration cannot accumulate unbounded orphaned roots."""
     import hashlib
     import os
 
     h = hashlib.md5()
-    for root, dirs, files in sorted(os.walk(sf_dir)):
-        dirs.sort()
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
         for fname in sorted(files):
             p = os.path.join(root, fname)
             st = os.stat(p)
@@ -87,6 +92,26 @@ def cache_tag(sf_dir: str) -> str:
             )
     base = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     return f"{base}_{h.hexdigest()[:12]}"
+
+
+def cache_root(parent: str, sf_dir: str) -> str:
+    """``<parent>/<cache_tag(sf_dir)>``, with garbage collection of
+    SUPERSEDED siblings: any ``<parent>/<same-base>_<other-fp>`` dir
+    belongs to a prior generation of the same source data (the
+    fingerprint changed because the parquet was regenerated) and is
+    deleted before returning — the stale index can never be read
+    again (its tag no longer resolves) and would otherwise accumulate
+    one full derived-index copy per regeneration."""
+    import os
+    import shutil
+
+    tag = cache_tag(sf_dir)
+    base = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(base + "_") and d != tag:
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return os.path.join(parent, tag)
 
 
 def ordered_small(df: DataFrame, *cols: str) -> DataFrame:

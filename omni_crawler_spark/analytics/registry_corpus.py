@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from omni_crawler_spark.analytics.registry import (
     _t,
-    cache_tag,
+    cache_root,
     ordered_small,
     register,
 )
@@ -34,7 +34,13 @@ from omni_crawler_spark.analytics.registry import (
 # ---------------------------------------------------------------------------
 
 _PASSAGE_W = 20  # words per passage (stride = width: disjoint chunks)
+_PASSAGE_CAP = 1000  # hot-bucket cap, ENCODED IN THE ORACLE TOO
 
+# The oracle models the SAME capped function the engine computes: the
+# QUALIFY drops passages occurring more than _PASSAGE_CAP times, so a
+# future corpus with >cap boilerplate repeats cannot silently diverge
+# the two sides (Spark would anti-join those pairs away while an
+# uncapped oracle counted them).
 _PASSAGES_SQL = f"""
   WITH both_docs AS (
     SELECT doc_id, text FROM documents
@@ -42,13 +48,16 @@ _PASSAGES_SQL = f"""
     SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
   ), w AS (
     SELECT doc_id, string_split(text, ' ') AS words FROM both_docs
-  ), p AS (
+  ), p0 AS (
     SELECT doc_id, unnest(list_transform(
              generate_series(0, len(words) // {_PASSAGE_W} - 1),
              i -> array_to_string(
                     words[i * {_PASSAGE_W} + 1 : i * {_PASSAGE_W} + {_PASSAGE_W}],
                     ' '))) AS passage
     FROM w WHERE len(words) >= {_PASSAGE_W}
+  ), p AS (
+    SELECT doc_id, passage FROM p0
+    QUALIFY COUNT(*) OVER (PARTITION BY passage) <= {_PASSAGE_CAP}
   )
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          COUNT(*) AS n_shared_passages
@@ -87,7 +96,10 @@ def dedup_passage(spark, sf_dir):
         )
     )
     return ordered_small(
-        passage_dup_pairs(both, "doc_id", "text", passage_w=_PASSAGE_W),
+        passage_dup_pairs(
+            both, "doc_id", "text",
+            passage_w=_PASSAGE_W, max_bucket_size=_PASSAGE_CAP,
+        ),
         "id_a", "id_b",
     )
 
@@ -429,9 +441,8 @@ def dedup_incremental_batch(spark, sf_dir):
     # machine, later sessions skip it via the committed op_id (the
     # steady-state cost is the batch, which is the point); the
     # self-match filter in _cross_probe keeps replays verdict-stable
-    tag = cache_tag(sf_dir)
     ix = MinHashIndex(
-        f"/tmp/ocs_mhidx/{tag}", shingle_k=14, threshold=0.9
+        cache_root("/tmp/ocs_mhidx", sf_dir), shingle_k=14, threshold=0.9
     )
     ix.bootstrap(spark, corpus, "doc_id", "text", op_id="bootstrap")
     kept, dropped = ix.dedup_batch(

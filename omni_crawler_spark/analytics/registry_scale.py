@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from omni_crawler_spark.analytics.registry import (
     _ORACLE_SUM_DBL,
     _t,
-    cache_tag,
+    cache_root,
     dsum,
     register,
 )
@@ -102,9 +102,10 @@ def _bucketed_table(spark, sf_dir, name: str, key: str):
     """
     import json
 
-    tag = cache_tag(sf_dir)
+    root = cache_root(_BUCKET_ROOT, sf_dir)
+    tag = os.path.basename(root)
     tbl = f"ocs_b_{tag}_{name}"
-    path = f"{_BUCKET_ROOT}/{tag}/{name}"
+    path = f"{root}/{name}"
     # layout-spec marker: files written under a different bucket spec
     # must NOT be re-registered under this one — Spark trusts the
     # declared bucketing, so a mismatch silently mis-joins
@@ -211,9 +212,10 @@ _PRUNE_DAY = "2024-01-15"
     "partition-spec day(ts) + manifest min/max pruning",
 )
 def layout_partition_prune(spark, sf_dir):
-    tag = cache_tag(sf_dir)
+    root = cache_root(_PRUNE_ROOT, sf_dir)
+    tag = os.path.basename(root)
     tbl = f"ocs_p_{tag}_events"
-    path = f"{_PRUNE_ROOT}/{tag}/events"
+    path = f"{root}/events"
     have_files = os.path.isdir(path) and any(
         d.startswith("event_date=") for d in os.listdir(path)
     )

@@ -126,7 +126,7 @@ def _authors_col():
     "re-read",
 )
 def search_fulltext(spark, sf_dir):
-    from omni_crawler_spark.analytics.registry import cache_tag
+    from omni_crawler_spark.analytics.registry import cache_root
     from omni_crawler_spark.search_index import SearchIndex
 
     d = _t(spark, sf_dir, "documents")
@@ -138,7 +138,7 @@ def search_fulltext(spark, sf_dir):
         _authors_col().alias("authors"),
         F.col("source").alias("domain"),
     )
-    ix = SearchIndex(f"/tmp/ocs_searchidx/{cache_tag(sf_dir)}")
+    ix = SearchIndex(cache_root("/tmp/ocs_searchidx", sf_dir))
     ix.bootstrap(spark, docs, op_id="bootstrap")
     return ix.query(spark, "query strem", size=20)
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from omni_crawler_spark.analytics.registry import (
     _t,
-    cache_tag,
+    cache_root,
     ordered_small,
     register,
 )
@@ -633,8 +633,7 @@ def sim_ivf_incremental(spark, sf_dir):
     from omni_crawler_spark.operators.ivf import IVFIndex
 
     e = _t(spark, sf_dir, "embeddings")
-    tag = cache_tag(sf_dir)
-    ix = IVFIndex(f"/tmp/ocs_ivfidx/{tag}", n_cells=16, dim=64)
+    ix = IVFIndex(cache_root("/tmp/ocs_ivfidx", sf_dir), n_cells=16, dim=64)
     ix.bootstrap(spark, e.filter(F.col("vec_id") % 2 == 1), op_id="boot")
     ix.add_batch(spark, e.filter(F.col("vec_id") % 2 == 0), op_id="b1")
     return ix.search(spark, [0, 1, 2, 3, 4], k=5, nprobe=4).orderBy(

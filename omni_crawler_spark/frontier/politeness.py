@@ -92,9 +92,17 @@ def parse_robots_groups(
             rules.append((val, key == "allow" or val == ""))
         elif key == "crawl-delay" and agents:
             try:
-                delay = float(val)
+                d = float(val)
             except ValueError:
                 pass
+            else:
+                # hostile/typo'd robots.txt is normal web input:
+                # reject nan/inf/negative outright;
+                # robots_crawl_delay_ms clamps the rest to one day so
+                # one bad host can never overflow the scheduler's
+                # int32 delay column
+                if d == d and 0 <= d < float("inf"):
+                    delay = d
     _flush()
     return groups
 
@@ -135,7 +143,7 @@ def robots_crawl_delay_ms(
     g = _group_for_agent(text, agent)
     if g is None or g[2] is None:
         return None
-    return int(g[2] * 1000)
+    return min(int(g[2] * 1000), 86_400_000)
 
 
 def robots_rules_udf(agent: str = ROBOTS_UA):
@@ -220,11 +228,10 @@ def robots_filter(frontier: DataFrame, hosts: DataFrame) -> DataFrame:
     joined = frontier.join(
         F.broadcast(hosts.select("host", "robots_rules")), "host", "left"
     )
-    allowed = robots_verdict(
-        path, F.coalesce(F.col("robots_rules"), F.lit(None).cast(_RULES_TYPE))
-    )
+    allowed = robots_verdict(path, F.col("robots_rules"))
     # NULL rules (unknown host / unreadable robots) → allowed: the
-    # aggregate over a NULL array yields NULL, coalesced to True
+    # aggregate over a NULL array yields a NULL verdict, coalesced
+    # to True here
     return joined.filter(F.coalesce(allowed, F.lit(True))).drop(
         "robots_rules"
     )

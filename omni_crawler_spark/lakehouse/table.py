@@ -146,8 +146,18 @@ class SnapshotTable:
         op: str,
         op_id: str | None,
         dir_schemas: dict[str, str] | None = None,
+        pin_version: int | None = None,
     ) -> int:
-        version = self.current_version() + 1
+        version = (
+            pin_version if pin_version is not None
+            else self.current_version() + 1
+        )
+        if pin_version is not None and self.current_version() >= pin_version:
+            # fast-path the stale case; the atomic link below catches
+            # any race that slips past this check
+            raise CommitConflict(
+                f"{self.name}: version {pin_version} already taken"
+            )
         op_versions = self._op_versions()
         if op_id is not None:
             # final idempotency check against the NEWEST manifest,
@@ -268,13 +278,60 @@ class SnapshotTable:
     def upsert(self, df: DataFrame, op_id: str | None = None) -> int:
         """Keyed MERGE: append ``df`` tagged with its commit version;
         ``read`` resolves per-key conflicts by ``on_conflict``. No-op
-        if ``op_id`` already committed (idempotent replay)."""
+        if ``op_id`` already committed (idempotent replay).
+
+        The ``_v`` tag must equal the version the commit actually
+        lands at — under the optimistic-concurrency retry a plain
+        append could lose a race and land at version+1 while its rows
+        still carried the stale tag, making merge resolution between
+        two racing upserts a nondeterministic tie. So upsert pins its
+        commit to the tagged version and, on losing a race, REWRITES
+        the parquet with the fresh tag before retrying (conflicts are
+        rare; the rewrite is the price of a correct last-committer-
+        wins order)."""
         if self.key is None:
             raise ValueError(f"table {self.name} has no key — use append()")
         if op_id is not None and op_id in self.committed_op_ids():
             return self.current_version()
-        version = self.current_version() + 1
-        return self.append(df.withColumn("_v", F.lit(version)), op_id)
+        self._check_evolution(df)
+        for _ in range(100):
+            if op_id is not None and op_id in self.committed_op_ids():
+                return self.current_version()
+            version = self.current_version() + 1
+            tagged = df.withColumn("_v", F.lit(version))
+            new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+            tagged.write.mode("overwrite").parquet(new_dir)
+            if self.current_version():
+                m = self._read_manifest(self.current_version())
+                prev = m["data_dirs"]
+                prev_schemas = m.get("dir_schemas") or {}
+            else:
+                prev, prev_schemas = [], {}
+            try:
+                return self._commit_pinned(
+                    version,
+                    prev + [new_dir],
+                    "append",
+                    op_id,
+                    dir_schemas={
+                        **prev_schemas, new_dir: tagged.schema.json()
+                    },
+                )
+            except CommitConflict:
+                continue  # stale _v tag — rewrite with a fresh one
+            except _OpAlreadyCommitted:
+                return self.current_version()
+        raise CommitConflict(
+            f"upsert to {self.name} lost 100 consecutive commit races"
+        )
+
+    def _commit_pinned(self, version: int, *args, **kw) -> int:
+        """_commit, but REQUIRED to land at exactly ``version`` (the
+        caller's row tags reference that number). The atomic link is
+        the arbiter: if the table moved to or past ``version``, that
+        manifest file exists and the link raises CommitConflict —
+        there is no window in which the commit can land elsewhere."""
+        return self._commit(*args, pin_version=version, **kw)
 
     def rewrite(self, spark: SparkSession, op_id: str | None = None) -> int:
         """File compaction for unkeyed tables: rewrite the current
@@ -493,24 +550,50 @@ class SnapshotTable:
             os.unlink(os.path.join(self.root, "snapshots", f))
         return {"expired_manifests": len(expire), "deleted_dirs": deleted}
 
-    def remove_orphans(self) -> int:
+    def remove_orphans(self, grace_seconds: float = 3600.0) -> int:
         """Delete data dirs referenced by NO manifest — the residue of
         lost commit races (a loser's parquet write that resolved to a
-        no-op) and of writes killed before their commit. Safe by the
-        manifest invariant: an unreferenced dir is invisible to every
-        reader at every version. Returns the number removed."""
+        no-op) and of writes killed before their commit.
+
+        ``grace_seconds`` protects IN-FLIGHT writers: a concurrent
+        commit exists for a window between its parquet write and its
+        manifest publish, during which its dir is unreferenced —
+        deleting it would let the writer publish a manifest pointing
+        at missing files (the Iceberg orphan-cleanup age-threshold
+        rule). Only dirs whose newest mtime is older than the grace
+        window are reclaimed; a dir older than an hour with no
+        manifest has no live writer (commits are driver-side JSON
+        writes that follow the data write within seconds). Returns
+        the number removed."""
         import shutil
+        import time
 
         referenced: set[str] = set()
         for f in self._snapshot_files():
             referenced.update(
                 self._read_manifest(int(f.split(".")[0]))["data_dirs"]
             )
+        cutoff = time.time() - grace_seconds
         data_root = os.path.join(self.root, "data")
         removed = 0
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
-            if full not in referenced:
-                shutil.rmtree(full, ignore_errors=True)
-                removed += 1
+            if full in referenced:
+                continue
+            try:
+                newest = max(
+                    os.path.getmtime(os.path.join(root, name))
+                    for root, _, files in os.walk(full)
+                    for name in files
+                ) if os.path.isdir(full) else os.path.getmtime(full)
+            except (ValueError, OSError):
+                # empty dir: fall back to the dir's own mtime
+                try:
+                    newest = os.path.getmtime(full)
+                except OSError:
+                    continue
+            if newest > cutoff:
+                continue  # possibly an in-flight writer — leave it
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
         return removed

@@ -281,16 +281,27 @@ def test_expire_snapshots_bounds_history(spark, tmp_path):
     assert t.read_delta(spark, t.current_version()).count() == len(before)
 
 
-def test_remove_orphans_only_unreferenced(spark, tmp_path):
+def test_remove_orphans_only_unreferenced_and_aged(spark, tmp_path):
     """Orphan cleanup deletes exactly the dirs no manifest references
-    (lost-race residue), never committed data."""
+    (lost-race residue) AND older than the grace window — never
+    committed data, never a possibly-in-flight fresh write."""
     import os
+    import time
 
     t = SnapshotTable(str(tmp_path / "t"))
     t.append(spark.range(0, 4), op_id="a")
     # simulate a lost race: a data dir written but never committed
     orphan = str(tmp_path / "t" / "data" / "deadbeefcafe")
     spark.range(100, 105).write.parquet(orphan)
+    # fresh orphan: inside the grace window → protected (it could be
+    # a concurrent writer between its parquet write and its commit)
+    assert t.remove_orphans() == 0
+    assert os.path.isdir(orphan)
+    # age it past the window → reclaimed
+    old = time.time() - 7200
+    for root, _, files in os.walk(orphan):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
     assert t.remove_orphans() == 1
     assert not os.path.isdir(orphan)
     assert t.read(spark).count() == 4

@@ -299,3 +299,16 @@ def test_schedule_uses_robots_crawl_delay(spark):
     plain = sorted(r.start_ms for r in out if r.host == "plain.example.com")
     assert slowed == [0, 2000, 4000]
     assert plain == [0, 500, 1000]
+
+
+def test_crawl_delay_hostile_values_clamped():
+    """Hostile/typo'd robots.txt is normal web input: huge delays
+    clamp to one day (never overflowing the scheduler's int32 ms
+    column), nan/inf/negative are ignored entirely."""
+    mk = lambda v: f"User-agent: *\nCrawl-delay: {v}\nDisallow: /x\n"
+    assert P.robots_crawl_delay_ms(mk("3000000000")) == 86_400_000
+    assert P.robots_crawl_delay_ms(mk("inf")) is None
+    assert P.robots_crawl_delay_ms(mk("nan")) is None
+    assert P.robots_crawl_delay_ms(mk("-5")) is None
+    assert P.robots_crawl_delay_ms(mk("bogus")) is None
+    assert P.robots_crawl_delay_ms(mk("2.5")) == 2500
