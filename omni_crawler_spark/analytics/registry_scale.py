@@ -143,8 +143,12 @@ def _bucketed_table(spark, sf_dir, name: str, key: str):
             .sortBy(key)
             .saveAsTable(tbl)
         )
-        with open(marker, "w") as fh:
+        # atomic publish: a concurrent session probing have_files must
+        # never read a half-written spec (lakehouse marker contract)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(spec, fh)
+        os.replace(tmp, marker)
     return spark.table(tbl)
 
 

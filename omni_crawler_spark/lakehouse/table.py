@@ -48,6 +48,29 @@ class CommitConflict(RuntimeError):
     """Another writer published the version this commit targeted."""
 
 
+def ensure_params_marker(path: str, params: dict, what: str = "index") -> None:
+    """Create-or-validate a JSON params marker ATOMICALLY: the file is
+    published via write-temp + rename, so a concurrent reader can
+    never observe a half-written marker (two sessions bootstrapping
+    the same root raced exactly that and crashed on JSONDecodeError).
+    Both racers write identical bytes for identical params, so
+    last-rename-wins is safe; mismatched params fail loudly."""
+    if os.path.isfile(path):
+        with open(path) as fh:
+            existing = json.load(fh)
+        if existing != params:
+            raise ValueError(
+                f"{what} at {os.path.dirname(path)} was built with "
+                f"{existing}, requested {params} — use a new root or "
+                "matching parameters"
+            )
+        return
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(params, fh)
+    os.rename(tmp, path)
+
+
 class _OpAlreadyCommitted(Exception):
     """Raised inside _commit when the newest manifest already carries
     this op_id — a concurrent writer won the same idempotent op

@@ -63,27 +63,20 @@ class MinHashIndex:
         # signature-parameter marker: an index holds signatures under
         # ONE (num_perm, shingle_k, bands) config; opening an existing
         # root with different params would silently mix incomparable
-        # signatures, so fail loudly instead
-        import json
+        # signatures, so fail loudly instead (atomic create-or-check:
+        # concurrent bootstraps cannot observe a half-written marker)
         import os
+
+        from omni_crawler_spark.lakehouse.table import ensure_params_marker
 
         params = {
             "num_perm": num_perm,
             "shingle_k": shingle_k,
             "bands": bands,
         }
-        marker = os.path.join(root, "signature_params.json")
-        if os.path.isfile(marker):
-            existing = json.load(open(marker))
-            if existing != params:
-                raise ValueError(
-                    f"index at {root} was built with {existing}, "
-                    f"requested {params} — use a new root or matching "
-                    "parameters"
-                )
-        else:
-            with open(marker, "w") as fh:
-                json.dump(params, fh)
+        ensure_params_marker(
+            os.path.join(root, "signature_params.json"), params, "index"
+        )
         self.num_perm = num_perm
         self.shingle_k = shingle_k
         self.bands = bands

@@ -35,12 +35,14 @@ never touches document text.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from omni_crawler_spark.lakehouse.table import SnapshotTable
+from omni_crawler_spark.lakehouse.table import (
+    SnapshotTable,
+    ensure_params_marker,
+)
 from omni_crawler_spark.search import (
     DEFAULT_FIELDS,
     _parse_terms,
@@ -67,18 +69,9 @@ class SearchIndex:
         self.fields = fields or dict(DEFAULT_FIELDS)
         self.id_col = id_col
         params = {"fields": self.fields, "id_col": id_col}
-        marker = os.path.join(root, "index_params.json")
-        if os.path.isfile(marker):
-            existing = json.load(open(marker))
-            if existing != params:
-                raise ValueError(
-                    f"search index at {root} was built with {existing}, "
-                    f"requested {params} — use a new root or matching "
-                    "parameters"
-                )
-        else:
-            with open(marker, "w") as fh:
-                json.dump(params, fh)
+        ensure_params_marker(
+            os.path.join(root, "index_params.json"), params, "search index"
+        )
 
     def bootstrap(
         self, spark: SparkSession, docs: DataFrame, op_id: str | None = None
