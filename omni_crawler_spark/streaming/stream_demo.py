@@ -143,3 +143,51 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_search_index(
+    spark: SparkSession,
+    docs_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "doc_id long, title string, content string, key_phrases string, "
+        "authors string, domain string"
+    ),
+    compact_every: int = 16,
+) -> StreamingQuery:
+    """Continuous inverted-index maintenance: every micro-batch of
+    arriving documents appends its postings to the persisted
+    :class:`~omni_crawler_spark.search_index.SearchIndex` — the
+    streaming form of ES's save-time indexing (the reference's storage
+    layer indexes each article as it is stored,
+    src/storage/omni_storage.py:88-135) and the continuous twin of the
+    CrawlEngine's per-cycle index commit.
+
+    Exactly-once: same contract as streaming_incremental_dedup —
+    the checkpoint pins files to batch_ids, the append is tagged
+    ``op_id=f"stream-{batch_id}"``, so a replayed micro-batch no-ops
+    and a query between restarts never sees duplicated postings.
+    """
+    from omni_crawler_spark.search_index import SearchIndex
+
+    index = SearchIndex(index_root)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        index.index_batch(
+            batch_df.sparkSession, batch_df, op_id=f"stream-{batch_id}"
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(
+                batch_df.sparkSession, op_id=f"compact-{batch_id}"
+            )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(docs_dir)
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

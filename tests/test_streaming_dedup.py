@@ -94,3 +94,65 @@ def test_stream_dedups_across_microbatches_and_resumes(spark, tmp_path):
     assert {r.doc_id for r in kept_after.select("doc_id").collect()} == (
         kept_ids
     )
+
+
+def test_streaming_search_index_matches_oneshot_and_resumes(spark, tmp_path):
+    """Postings streamed in per-file micro-batches must answer queries
+    identically to one-shot indexing of the union corpus, and a
+    restart (same checkpoint) must not duplicate postings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omni_crawler_spark import search as SE
+    from omni_crawler_spark.search_index import SearchIndex
+    from omni_crawler_spark.streaming.stream_demo import (
+        streaming_search_index,
+    )
+
+    rows = [
+        (1, "Market report", "the market is up", "market watch",
+         "Ann Lee", "news.com"),
+        (2, "Daily notes", "nothing relevant here", "misc",
+         "Bo Chan", "blog.net"),
+        (3, "About markets", "a marekt typo inside", "trade",
+         "Cy Day", "news.com"),
+        (4, "Plain title", "market market market", "x",
+         "Di Eve", "market.org"),
+    ]
+    cols = ["doc_id", "title", "content", "key_phrases", "authors", "domain"]
+    docs_dir = tmp_path / "in"
+    docs_dir.mkdir()
+    # one plain parquet FILE per micro-batch (file-stream source needs
+    # files, not df.write directories)
+    for i, half in enumerate((rows[:2], rows[2:])):
+        pq.write_table(
+            pa.table({c: [r[j] for r in half] for j, c in enumerate(cols)}),
+            str(docs_dir / f"part-{i}.parquet"),
+        )
+    kw = dict(
+        docs_dir=str(docs_dir),
+        index_root=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    streaming_search_index(spark, **kw).awaitTermination()
+    ix = SearchIndex(str(tmp_path / "index"))
+    docs = spark.createDataFrame(rows, ", ".join(
+        f"{c} {'long' if c == 'doc_id' else 'string'}" for c in cols))
+    for q in ("market", "marekt", "market relevant"):
+        got = sorted(
+            (r.doc_id, r.score) for r in ix.query(spark, q).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.score) for r in SE.multi_match(docs, q).collect()
+        )
+        assert got == want, q
+    # restart over the same checkpoint: no new batches, no new
+    # snapshots, identical answers
+    v = ix.table.current_version()
+    streaming_search_index(spark, **kw).awaitTermination()
+    assert ix.table.current_version() == v
+    assert sorted(
+        (r.doc_id, r.score) for r in ix.query(spark, "market").collect()
+    ) == sorted(
+        (r.doc_id, r.score) for r in SE.multi_match(docs, "market").collect()
+    )
