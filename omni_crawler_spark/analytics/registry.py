@@ -101,15 +101,31 @@ def cache_root(parent: str, sf_dir: str) -> str:
     fingerprint changed because the parquet was regenerated) and is
     deleted before returning — the stale index can never be read
     again (its tag no longer resolves) and would otherwise accumulate
-    one full derived-index copy per regeneration."""
+    one full derived-index copy per regeneration.
+
+    Siblings are matched by EXACT base equality after splitting the
+    trailing ``_<12-hex-fp>`` suffix — a prefix match would collide
+    distinct sources whose sanitized names nest (the sanitizer maps
+    both '/' and '.' to '_', so '/data/sf0.1' is a prefix of
+    '/data/sf0.1.v2''s base and a startswith GC would delete the
+    OTHER source's live root)."""
     import os
     import shutil
 
     tag = cache_tag(sf_dir)
     base = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    hexdigits = set("0123456789abcdef")
     if os.path.isdir(parent):
         for d in os.listdir(parent):
-            if d.startswith(base + "_") and d != tag:
+            if d == tag:
+                continue
+            d_base, sep, fp = d.rpartition("_")
+            if (
+                sep
+                and d_base == base
+                and len(fp) == 12
+                and set(fp) <= hexdigits
+            ):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     return os.path.join(parent, tag)
 

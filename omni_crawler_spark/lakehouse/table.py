@@ -50,25 +50,37 @@ class CommitConflict(RuntimeError):
 
 def ensure_params_marker(path: str, params: dict, what: str = "index") -> None:
     """Create-or-validate a JSON params marker ATOMICALLY: the file is
-    published via write-temp + rename, so a concurrent reader can
-    never observe a half-written marker (two sessions bootstrapping
-    the same root raced exactly that and crashed on JSONDecodeError).
-    Both racers write identical bytes for identical params, so
-    last-rename-wins is safe; mismatched params fail loudly."""
-    if os.path.isfile(path):
-        with open(path) as fh:
-            existing = json.load(fh)
+    published via write-temp + ``os.link`` (EEXIST-refusing, the same
+    arbiter ``_commit`` uses), so a concurrent reader can never
+    observe a half-written marker AND two concurrent bootstraps with
+    DIFFERENT params cannot both "win" — the link loser re-reads the
+    winner's marker and runs the equality check, so exactly one param
+    set is installed and a mismatched racer fails loudly instead of
+    proceeding against an index whose marker no longer matches what
+    it built (the TOCTOU a rename-based publish leaves open)."""
+
+    def _check(existing: dict) -> None:
         if existing != params:
             raise ValueError(
                 f"{what} at {os.path.dirname(path)} was built with "
                 f"{existing}, requested {params} — use a new root or "
                 "matching parameters"
             )
+
+    if os.path.isfile(path):
+        with open(path) as fh:
+            _check(json.load(fh))
         return
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(params, fh)
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        with open(path) as fh:
+            _check(json.load(fh))
+    finally:
+        os.unlink(tmp)
 
 
 class _OpAlreadyCommitted(Exception):
@@ -182,6 +194,19 @@ class SnapshotTable:
                 f"{self.name}: version {pin_version} already taken"
             )
         op_versions = self._op_versions()
+        # retention-aware pruning: op_ids whose commit predates the
+        # oldest SURVIVING manifest protect replays that can no longer
+        # happen (their cycle's inputs were expired with the manifest)
+        # — without this, expire_snapshots bounds manifests and data
+        # dirs but the chained map still grows O(total commits) over
+        # the 10^4-commit horizon retention exists to bound.
+        files = self._snapshot_files()
+        if files:
+            floor = int(files[0].split(".")[0])
+            if any(v < floor for v in op_versions.values()):
+                op_versions = {
+                    k: v for k, v in op_versions.items() if v >= floor
+                }
         if op_id is not None:
             # final idempotency check against the NEWEST manifest,
             # made airtight by the atomic link below: if a concurrent
@@ -464,9 +489,33 @@ class SnapshotTable:
         """Read ONLY the rows added by ``version`` (its new data dirs,
         not the accumulated table) — the incremental-scan primitive:
         a cycle that needs just-its-own commit reads O(commit), never
-        O(history), and no footer listing of prior dirs happens."""
+        O(history), and no footer listing of prior dirs happens.
+
+        Raises when ``version``'s predecessor manifest was expired by
+        ``expire_snapshots``: the delta is then unknowable and the
+        lenient empty-prev fallback would silently return the ENTIRE
+        cumulative table — an incremental consumer near the retention
+        boundary would reprocess full history as "the delta" (the
+        empty-prev fallback stays only for the stats gauges
+        delta_bytes/delta_rows, where over-attribution is harmless)."""
         cur = self._read_manifest(version)["data_dirs"]
-        delta = [d for d in cur if d not in self._prev_dirs(version)]
+        if version > 1:
+            try:
+                prev: set[str] = set(
+                    self._read_manifest(version - 1)["data_dirs"]
+                )
+            except FileNotFoundError:
+                raise ValueError(
+                    f"predecessor manifest {version - 1} of "
+                    f"{self.name} was expired — the delta of version "
+                    f"{version} is unknowable (a fallback would "
+                    "return the full table, not the delta); widen "
+                    "snapshot retention past the incremental-read "
+                    "horizon or use read()"
+                ) from None
+        else:
+            prev = set()
+        delta = [d for d in cur if d not in prev]
         if not delta:
             raise ValueError(f"version {version} added no data dirs")
         return spark.read.parquet(*delta)

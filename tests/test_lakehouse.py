@@ -276,9 +276,98 @@ def test_expire_snapshots_bounds_history(spark, tmp_path):
     stats2 = t.expire_snapshots(keep_last=1)
     assert stats2["deleted_dirs"] == 8  # the 8 pre-rewrite append dirs
     assert sorted(r.id for r in t.read(spark).collect()) == before
-    # delta of the oldest surviving version tolerates the expired
-    # predecessor (reports its full contents as its own delta)
-    assert t.read_delta(spark, t.current_version()).count() == len(before)
+    # delta of the oldest surviving version is UNKNOWABLE (expired
+    # predecessor) — read_delta fails loudly instead of silently
+    # returning the full table as "the delta"; the lenient fallback
+    # remains only for the stats gauges
+    with pytest.raises(ValueError, match="expired"):
+        t.read_delta(spark, t.current_version())
+    assert t.delta_bytes(t.current_version()) > 0
+
+
+def test_expired_op_ids_pruned_at_next_commit(spark, tmp_path):
+    """expire_snapshots + the next commit bound the op_versions map:
+    op_ids whose version predates the oldest surviving manifest are
+    dropped (their replays can no longer happen), so manifest size
+    stops growing O(total commits) over the retention horizon."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i in range(8):
+        t.append(spark.range(i, i + 1), op_id=f"op-{i}")
+    t.expire_snapshots(keep_last=3)  # survivors: versions 6,7,8
+    # the map still carries everything until a commit rewrites it
+    assert t.committed_op_ids() == {f"op-{i}" for i in range(8)}
+    t.append(spark.range(100, 101), op_id="op-new")
+    # ops committed at versions < 6 are gone; recent ones survive
+    assert t.committed_op_ids() == {"op-5", "op-6", "op-7", "op-new"}
+    # replay protection still intact for surviving ops
+    v = t.current_version()
+    assert t.append(spark.range(0, 1), op_id="op-7") == v
+
+
+def test_params_marker_atomic_and_loud(tmp_path):
+    """ensure_params_marker: same params create-or-pass; different
+    params raise — including when the marker appears AFTER the
+    isfile precheck (the os.link publish refuses an existing target
+    and re-runs the equality check, closing the last-rename-wins
+    TOCTOU where one of two racing param sets silently vanished)."""
+    import json
+    import os
+    from unittest import mock
+
+    from omni_crawler_spark.lakehouse.table import ensure_params_marker
+
+    p = str(tmp_path / "m.json")
+    ensure_params_marker(p, {"a": 1})
+    ensure_params_marker(p, {"a": 1})  # idempotent
+    with pytest.raises(ValueError, match="built with"):
+        ensure_params_marker(p, {"a": 2})
+    # race: the marker lands between the precheck and the publish
+    p2 = str(tmp_path / "m2.json")
+    real_isfile = os.path.isfile
+
+    def racy_isfile(path):
+        exists = real_isfile(path)
+        if path == p2 and not exists:
+            with open(p2, "w") as fh:
+                json.dump({"a": 99}, fh)  # the concurrent winner
+            return False  # what the loser's precheck observed
+        return exists
+
+    with mock.patch(
+        "omni_crawler_spark.lakehouse.table.os.path.isfile", racy_isfile
+    ):
+        with pytest.raises(ValueError, match="built with"):
+            ensure_params_marker(p2, {"a": 1})
+    with open(p2) as fh:
+        assert json.load(fh) == {"a": 99}  # winner's params intact
+
+
+def test_cache_root_gc_exact_base_only(tmp_path):
+    """cache_root GC deletes superseded fingerprints of the SAME
+    source only — a source whose sanitized base is a prefix of
+    another's ('/d/sf0.1' vs '/d/sf0.1.v2' both sanitize with '_')
+    must never have its live root deleted by the other's GC."""
+    import os
+
+    from omni_crawler_spark.analytics.registry import cache_root, cache_tag
+
+    src_a = tmp_path / "d" / "sf0.1"
+    src_b = tmp_path / "d" / "sf0.1.v2"
+    for s in (src_a, src_b):
+        s.mkdir(parents=True)
+        (s / "x.parquet").write_bytes(b"pq")
+    parent = str(tmp_path / "cache")
+    os.makedirs(parent)
+    live_b = os.path.join(parent, cache_tag(str(src_b)))
+    os.makedirs(live_b)
+    # a superseded generation of source A (same base, other fp)
+    base_a = str(src_a).strip("/").replace("/", "_").replace(".", "_")
+    stale_a = os.path.join(parent, f"{base_a}_{'0' * 12}")
+    os.makedirs(stale_a)
+    root_a = cache_root(parent, str(src_a))
+    assert not os.path.isdir(stale_a)  # superseded sibling reclaimed
+    assert os.path.isdir(live_b)  # the OTHER source's root untouched
+    assert root_a == os.path.join(parent, cache_tag(str(src_a)))
 
 
 def test_remove_orphans_only_unreferenced_and_aged(spark, tmp_path):
