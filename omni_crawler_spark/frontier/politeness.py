@@ -37,7 +37,26 @@ from pyspark.sql.functions import pandas_udf
 # and match against User-agent groups)
 ROBOTS_UA = "omni-crawler-spark"
 
-_RULES_TYPE = "array<struct<path:string,allow:boolean>>"
+_RULES_TYPE = "array<struct<path:string,allow:boolean,pattern:string>>"
+
+
+def rule_pattern(path: str) -> str | None:
+    """RFC 9309 §2.2.3 special characters in a rule path: ``*``
+    matches any sequence of characters and a TRAILING ``$`` anchors
+    the end of the URL path (a ``$`` anywhere else is literal, per
+    the common-crawler convention). Returns the anchored Java-regex
+    translation for a rule that uses them, or None for a pure-literal
+    rule — the verdict matches literals with the cheaper
+    ``startswith`` and only compiles a regex for the rare wildcard
+    rules, keeping the frontier path's hot case codegen-friendly."""
+    import re as _re
+
+    anchor = path.endswith("$")
+    body = path[:-1] if anchor else path
+    if "*" not in body and not anchor:
+        return None
+    pat = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+    return "^" + pat + ("$" if anchor else "")
 
 
 def parse_robots_txt(robots_txt: "F.Column") -> "F.Column":
@@ -107,6 +126,42 @@ def parse_robots_groups(
     return groups
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives in a robots.txt — per RFC 9309 §2.3 /
+    sitemaps.org these are GROUP-INDEPENDENT (valid anywhere in the
+    file, apply to all agents), which is how real crawlers find most
+    sitemaps. The reference parses sitemap XML once handed a URL
+    (src/discovery/url_discovery_engine.py:58-89) but never reads the
+    robots pointer; this closes that discovery gap. Order-preserving,
+    deduplicated."""
+    import re as _re
+
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _re.finditer(r"(?im)^\s*Sitemap:\s*(\S+)", text or ""):
+        u = m.group(1)
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out
+
+
+def robots_sitemaps_udf():
+    """Arrow-batched ``Sitemap:`` extractor — runs over the HOSTS DIM
+    only (one row per host), never the frontier."""
+
+    @pandas_udf("array<string>")
+    def parse(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if t is None else parse_robots_sitemaps(t)
+                for t in texts
+            ]
+        )
+
+    return parse
+
+
 def _group_for_agent(text: str, agent: str):
     """The group governing ``agent``: the group whose User-agent
     token is the LONGEST substring of the agent's product token wins;
@@ -159,7 +214,7 @@ def robots_rules_udf(agent: str = ROBOTS_UA):
                 None
                 if t is None
                 else [
-                    {"path": p, "allow": al}
+                    {"path": p, "allow": al, "pattern": rule_pattern(p)}
                     for p, al in robots_rules_for_agent(t, agent)
                 ]
                 for t in texts
@@ -171,12 +226,22 @@ def robots_rules_udf(agent: str = ROBOTS_UA):
 
 def robots_verdict(path: "F.Column", rules: "F.Column") -> "F.Column":
     """True iff ``path`` is allowed under ``rules``
-    (array<struct<path,allow>>): RFC 9309 precedence — the LONGEST
-    matching rule path wins; on a length tie Allow wins; no matching
-    rule (or no rules) → allowed. Pure codegen-able column expression
-    over the broadcast host dim's rules array — zero Python on the
-    frontier path."""
-    matching = F.filter(rules, lambda r: F.startswith(path, r["path"]))
+    (array<struct<path,allow,pattern>>): RFC 9309 precedence — the
+    LONGEST matching rule path wins (most octets of the rule); on a
+    length tie Allow wins; no matching rule (or no rules) → allowed.
+    Rule paths carrying the RFC special characters ``*``/trailing
+    ``$`` match through their regex translation (``rule_pattern``);
+    plain rules — the overwhelming majority of real robots files —
+    stay on the cheap ``startswith`` prefix match. Pure column
+    expression over the broadcast host dim's rules array — zero
+    Python on the frontier path (regexp_like is a JVM expression;
+    only the rare wildcard rules pay a per-row pattern evaluation)."""
+    matching = F.filter(
+        rules,
+        lambda r: F.when(
+            r["pattern"].isNull(), F.startswith(path, r["path"])
+        ).otherwise(F.regexp_like(path, r["pattern"])),
+    )
     best = F.aggregate(
         matching,
         F.struct(
@@ -202,7 +267,22 @@ def hosts_with_parsed_robots(hosts: DataFrame) -> DataFrame:
     prefix array (all-disallow rules — identical verdicts to the old
     any-prefix-blocks behavior)."""
     if "robots_rules" in hosts.columns:
-        return hosts
+        elem = hosts.schema["robots_rules"].dataType.elementType
+        if "pattern" in elem.names:
+            return hosts
+        # rules arrays built before the wildcard field existed:
+        # treat every path as literal (exactly the old behavior)
+        return hosts.withColumn(
+            "robots_rules",
+            F.transform(
+                F.col("robots_rules"),
+                lambda r: F.struct(
+                    r["path"].alias("path"),
+                    r["allow"].alias("allow"),
+                    F.lit(None).cast("string").alias("pattern"),
+                ),
+            ),
+        )
     if "robots_txt" in hosts.columns:
         return hosts.withColumn(
             "robots_rules", robots_rules_udf()(F.col("robots_txt"))
@@ -211,7 +291,11 @@ def hosts_with_parsed_robots(hosts: DataFrame) -> DataFrame:
         "robots_rules",
         F.transform(
             F.col("robots_disallow"),
-            lambda p: F.struct(p.alias("path"), F.lit(False).alias("allow")),
+            lambda p: F.struct(
+                p.alias("path"),
+                F.lit(False).alias("allow"),
+                F.lit(None).cast("string").alias("pattern"),
+            ),
         ),
     )
 

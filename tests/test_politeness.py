@@ -312,3 +312,70 @@ def test_crawl_delay_hostile_values_clamped():
     assert P.robots_crawl_delay_ms(mk("-5")) is None
     assert P.robots_crawl_delay_ms(mk("bogus")) is None
     assert P.robots_crawl_delay_ms(mk("2.5")) == 2500
+
+
+# -- RFC 9309 wildcard / end-anchor rules -----------------------------------
+
+
+def test_rule_pattern_translation():
+    assert P.rule_pattern("/private") is None  # literal → startswith
+    assert P.rule_pattern("") is None
+    assert P.rule_pattern("/*.pdf$") == r"^/.*\.pdf$"
+    assert P.rule_pattern("/private*") == "^/private.*"
+    assert P.rule_pattern("/a$") == "^/a$"
+    # '$' not at the end is literal (escaped), not an anchor
+    assert P.rule_pattern("/p$x*") == r"^/p\$x.*"
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /private*\n"
+        "Allow: /private-ok\n"
+        "Disallow: /exact$\n"
+    )
+    hosts_txt = spark.createDataFrame(
+        [("w.example.com", txt)], "host string, robots_txt string"
+    )
+    cases = [
+        ("/docs/file.pdf", False),      # *.pdf$ blocks
+        ("/docs/file.pdfx", True),      # $ anchors: .pdfx not blocked
+        ("/private/area", False),       # /private* blocks
+        ("/privateer", False),          # * matches empty continuation
+        ("/private-ok/page", True),     # Allow (10 octets) beats
+                                        # Disallow /private* (9 octets)
+        ("/exact", False),              # anchored exact match
+        ("/exact/sub", True),           # anchor: subpath not blocked
+        ("/other", True),
+    ]
+    f = _frontier(
+        spark, [("w.example.com", p, 10) for p, _ in cases]
+    )
+    kept = {r.url_canonical for r in P.robots_filter(f, hosts_txt).collect()}
+    for p, allowed in cases:
+        url = f"https://w.example.com{p}"
+        assert (url in kept) == allowed, (p, allowed)
+
+
+def test_robots_rules_passthrough_without_pattern_field(spark):
+    """A caller-built robots_rules array predating the pattern field
+    still works — every path is treated as a literal prefix."""
+    rules = [("h.example.com", [("/private", False), ("/private/ok", True)])]
+    hosts = spark.createDataFrame(
+        rules,
+        "host string, robots_rules array<struct<path:string,allow:boolean>>",
+    )
+    f = _frontier(
+        spark,
+        [
+            ("h.example.com", "/private/x", 10),
+            ("h.example.com", "/private/ok/y", 10),
+            ("h.example.com", "/pub", 10),
+        ],
+    )
+    kept = {r.url_canonical for r in P.robots_filter(f, hosts).collect()}
+    assert kept == {
+        "https://h.example.com/private/ok/y",
+        "https://h.example.com/pub",
+    }
