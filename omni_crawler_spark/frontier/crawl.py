@@ -107,9 +107,43 @@ class CrawlEngine:
         )
 
     def bootstrap(self, seeds: DataFrame, hosts: DataFrame) -> None:
-        """Seed the frontier: canonicalize, hash, host-split. Idempotent."""
+        """Seed the frontier: canonicalize, hash, host-split. A hosts
+        dim carrying raw ``robots_txt`` also contributes its
+        ``Sitemap:`` directives as frontier seeds (how real crawlers
+        find most sitemaps — RFC 9309 §2.3; the reference parses
+        sitemap XML, url_discovery_engine.py:58-89, but never reads
+        the robots pointer). Idempotent."""
         self.frontier.append(self._prepare_seeds(seeds), op_id="bootstrap")
         self.hosts.overwrite(hosts, op_id="bootstrap-hosts")
+        self._seed_robots_sitemaps(hosts)
+
+    def _seed_robots_sitemaps(
+        self, hosts: DataFrame, discovery_ts: str = "2025-01-01 00:00:00"
+    ) -> None:
+        """robots ``Sitemap:`` URLs → frontier seeds (priority 10,
+        source 'sitemap-robots'). The sitemap URL itself is fetched
+        like any page; its <loc> entries come back as that fetch's
+        ``links`` and join the next cycle's frontier through the
+        normal discovery path. O(hosts dim): the Arrow parse runs
+        over one row per host, never the frontier; an already-seen
+        sitemap URL is anti-joined away like any other candidate, so
+        repeated bootstraps cannot refetch it."""
+        if "robots_txt" not in hosts.columns:
+            return
+        sm = hosts.select(
+            F.explode(
+                P.robots_sitemaps_udf()(F.col("robots_txt"))
+            ).alias("url")
+        ).select(
+            "url",
+            F.lit("sitemap-robots").alias("source"),
+            F.lit(10).alias("priority"),
+            F.to_timestamp(F.lit(discovery_ts)).alias("discovery_ts"),
+            F.lit(None).cast("string").alias("title"),
+        )
+        self.frontier.append(
+            self._prepare_seeds(sm), op_id="bootstrap-sitemaps"
+        )
 
     def add_seeds(self, seeds: DataFrame, op_id: str) -> None:
         """Append more discovery seeds mid-crawl (idempotent)."""
@@ -441,6 +475,54 @@ class CrawlEngine:
             stats["n_new"] = new.count()
         stats["wall_sec"] = round(time.time() - t0, 3)
         return stats
+
+    def recrawl(
+        self,
+        spark: SparkSession,
+        urls: DataFrame,
+        op_id: str,
+        priority: int = 10,
+        discovery_ts: str = "2025-07-01 00:00:00",
+    ) -> None:
+        """Route KNOWN (already-crawled) URLs back through the next
+        cycle — the reference's implicit re-crawl story made explicit
+        (its stores replace by article_id: PG ``ON CONFLICT DO
+        UPDATE`` omni_storage.py:137-205, SQLite ``INSERT OR
+        REPLACE`` :410-464, ES doc_id :275-296, so a re-fetched page
+        overwrites in place). Two idempotent commits:
+
+        1. re-seed the frontier with ``urls`` (source='recrawl',
+           boosted priority so they schedule promptly);
+        2. remove their hashes from ``seen`` so the anti-join lets
+           them through (the bloom is only a pre-screen — a positive
+           goes to the exact anti-join, so no bloom rebuild needed).
+
+        The downstream stores then apply their replace-by-id
+        semantics on the refetch: the ``articles`` keyed table
+        upserts last-writer-wins, and the inverted ``index`` resolves
+        to the newest cycle's postings (stale tokens stop matching —
+        frontier/crawl.py::search). The seen rewrite is O(seen): at a
+        10^10-URL seen set, batch recrawl requests and fold them in
+        on the compaction cadence, or keep `seen` bucketed by
+        url_hash so the anti-join rewrite is partition-local.
+
+        ``urls`` needs a ``url`` column; other frontier columns are
+        defaulted (deterministic ``discovery_ts`` keeps scheduling
+        reproducible for the resume/byte-parity tests)."""
+        seeds = urls.select(
+            "url",
+            F.lit("recrawl").alias("source"),
+            F.lit(priority).alias("priority"),
+            F.to_timestamp(F.lit(discovery_ts)).alias("discovery_ts"),
+            F.lit(None).cast("string").alias("title"),
+        )
+        prepared = self._prepare_seeds(seeds)
+        self.frontier.append(prepared, op_id=f"{op_id}-seed")
+        hashes = prepared.select("url_hash").distinct()
+        self.seen.overwrite(
+            self._read_seen(spark).join(hashes, "url_hash", "left_anti"),
+            op_id=f"{op_id}-seen",
+        )
 
     def reset_seen(self, spark: SparkSession, op_id: str) -> None:
         """Operational re-crawl: clear the seen set (and its bloom) so

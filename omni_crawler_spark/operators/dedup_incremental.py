@@ -19,7 +19,16 @@ with work proportional to the BATCH:
   document text is ever fetched for old docs;
 - surviving signatures are appended under an idempotent ``op_id`` —
   replaying a crashed cycle cannot double-index (same contract as
-  every other crawl commit, lakehouse/table.py).
+  every other crawl commit, lakehouse/table.py);
+- ``reindex``/``delete`` replace or drop a doc's signature when a
+  re-crawl changes or removes the page (the reference's every store
+  is replace-by-article-id: PG ``ON CONFLICT DO UPDATE``
+  omni_storage.py:137-205, SQLite ``INSERT OR REPLACE`` :410-464) —
+  deletion-vector tombstones identical to SearchIndex's
+  (search_index.py): index rows carry a generation, a tiny broadcast
+  tombstone table records each re-indexed doc's live floor, probes
+  anti-filter stale signatures, and ``compact`` folds the vectors
+  away. O(batch) per re-crawl, never a corpus-sized rewrite.
 
 Reference parity: the reference dedups only by exact content hash at
 insert time (src/storage/omni_storage.py INSERT ... ON CONFLICT);
@@ -37,6 +46,9 @@ from omni_crawler_spark.operators.dedup import (
     lsh_band_keys,
     minhash_signature_udf,
 )
+
+# tombstone floor for a plain delete: no live generation remains
+_DELETED = 2**31 - 1
 
 
 class MinHashIndex:
@@ -60,6 +72,11 @@ class MinHashIndex:
     ):
         assert num_perm % bands == 0
         self.table = SnapshotTable(root, name="minhash_index")
+        import os as _os
+
+        self.tomb = SnapshotTable(
+            _os.path.join(root, "tombstones"), name="minhash_index_tomb"
+        )
         # signature-parameter marker: an index holds signatures under
         # ONE (num_perm, shingle_k, bands) config; opening an existing
         # root with different params would silently mix incomparable
@@ -116,13 +133,42 @@ class MinHashIndex:
         )
         return agree / F.size(sig_a)
 
+    def _next_gen(self) -> int:
+        return self.table.current_version() + 1
+
+    def _live(self, spark: SparkSession, keep_gen: bool = False) -> DataFrame:
+        """Index rows minus deletion-vector casualties: the tombstone
+        floors are broadcast (O(#reindexed-since-compaction), tiny);
+        the index side streams with no shuffle."""
+        df = self.table.read(spark)
+        if "gen" not in df.columns:  # pre-deletion-vector root
+            df = df.withColumn("gen", F.lit(0))
+        gen = F.coalesce(F.col("gen"), F.lit(0))
+        if self.tomb.is_empty():
+            out = df
+        else:
+            floors = (
+                self.tomb.read(spark)
+                .groupBy("doc_id")
+                .agg(F.max("min_gen").alias("_floor"))
+            )
+            out = (
+                df.join(F.broadcast(floors), "doc_id", "left")
+                .filter(F.col("_floor").isNull() | (gen >= F.col("_floor")))
+                .drop("_floor")
+            )
+        return out if keep_gen else out.drop("gen")
+
     def _cross_probe(
         self, spark: SparkSession, b_probe: DataFrame
     ) -> DataFrame:
         """(new_id, dup_of, est_jaccard) for batch docs near-dup of an
         INDEXED doc. The batch side is broadcast, so the index scan
-        streams through a BroadcastHashJoin with no shuffle."""
-        idx = self.table.read(spark)
+        streams through a BroadcastHashJoin with no shuffle. Stale
+        signatures of re-indexed docs are anti-filtered first
+        (deletion vectors) so a changed page is only ever matched
+        against its NEWEST signature."""
+        idx = self._live(spark)
         return (
             idx.withColumnRenamed("doc_id", "old_id")
             .withColumnRenamed("sig", "old_sig")
@@ -155,13 +201,26 @@ class MinHashIndex:
     # -- index lifecycle -----------------------------------------------------
 
     def compact(self, spark: SparkSession, op_id: str | None = None) -> int:
-        """Fold the append-per-batch data dirs into one snapshot
-        (SnapshotTable.rewrite): an index appended to every cycle
-        accumulates O(cycles) directories that every probe must list
-        and open — the same read-amplification bound as the frontier
-        log's periodic compaction (frontier/crawl.py). Idempotent
-        under ``op_id``; time travel to prior versions still works."""
-        return self.table.rewrite(spark, op_id=op_id)
+        """Fold the append-per-batch data dirs into one snapshot with
+        the deletion vectors APPLIED (stale signatures of re-indexed
+        docs physically dropped, tombstones cleared) — an index
+        appended to every cycle accumulates O(cycles) directories that
+        every probe must list and open, the same read-amplification
+        bound as the frontier log's periodic compaction
+        (frontier/crawl.py). Idempotent under ``op_id``; a crash
+        between the two commits is safe (re-applying tombstones to
+        resolved rows is a no-op)."""
+        if self.tomb.is_empty():
+            return self.table.rewrite(spark, op_id=op_id)
+        live = self._live(spark, keep_gen=True)
+        v = self.table.overwrite(
+            live, op_id=None if op_id is None else f"{op_id}-post"
+        )
+        self.tomb.overwrite(
+            self.tomb.read(spark).limit(0),
+            op_id=None if op_id is None else f"{op_id}-tomb",
+        )
+        return v
 
     def bootstrap(
         self,
@@ -173,7 +232,52 @@ class MinHashIndex:
     ) -> None:
         """Index an existing corpus (one-time backfill)."""
         self.table.append(
-            self.banded(corpus, id_col, text_col), op_id=op_id
+            self.banded(corpus, id_col, text_col).withColumn(
+                "gen", F.lit(self._next_gen())
+            ),
+            op_id=op_id,
+        )
+
+    def reindex(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        op_id: str | None = None,
+    ) -> None:
+        """Replace the stored signatures of ``docs`` (re-crawled,
+        changed pages): one O(batch) signature pass appended at a
+        fresh generation + one tombstone row per doc marking older
+        generations dead — subsequent probes use ONLY the new
+        signature. Crash between the two commits leaves both
+        signatures live until replay (transient extra candidates,
+        never a lost doc); replay under ``op_id`` converges."""
+        gen = self._next_gen()
+        self.table.append(
+            self.banded(docs, id_col, text_col).withColumn(
+                "gen", F.lit(gen)
+            ),
+            op_id=None if op_id is None else f"{op_id}-post",
+        )
+        self.tomb.append(
+            docs.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
+                "min_gen", F.lit(gen)
+            ),
+            op_id=None if op_id is None else f"{op_id}-tomb",
+        )
+
+    def delete(
+        self, spark: SparkSession, ids: DataFrame, op_id: str | None = None
+    ) -> None:
+        """Drop docs from the index (pages gone on re-crawl): one
+        tombstone row per id; signatures are reclaimed at
+        ``compact``. ``ids`` must carry a ``doc_id`` column."""
+        self.tomb.append(
+            ids.select("doc_id").distinct().withColumn(
+                "min_gen", F.lit(_DELETED)
+            ),
+            op_id=op_id,
         )
 
     def dedup_batch(
@@ -280,6 +384,9 @@ class MinHashIndex:
             "doc_id",
             "left_anti",
         )
-        self.table.append(kept_banded, op_id=op_id)
+        self.table.append(
+            kept_banded.withColumn("gen", F.lit(self._next_gen())),
+            op_id=op_id,
+        )
         b.unpersist()
         return kept, dropped

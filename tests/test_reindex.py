@@ -1,0 +1,254 @@
+"""Re-crawl / update semantics for the persisted indexes: the
+reference's every store replaces by article_id (PG ON CONFLICT DO
+UPDATE omni_storage.py:137-205, SQLite INSERT OR REPLACE :410-464,
+ES doc_id :275-296) — these tests pin the engine's deletion-vector
+analog: reindex a changed doc, query/probe sees ONLY the new state;
+replay no-ops; compact folds the vectors away."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from omni_crawler_spark import search as SE
+from omni_crawler_spark.operators.dedup_incremental import MinHashIndex
+from omni_crawler_spark.search_index import SearchIndex
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "Market report", "the market is up"),
+        (2, "Daily notes", "nothing relevant here"),
+        (3, "Plain title", "tulip gardens bloom"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, title string, content string"
+    ).cache()
+
+
+def _hits(ix, spark, q):
+    return {r.doc_id for r in ix.query(spark, q, fuzziness=None).collect()}
+
+
+def test_search_index_reindex_replaces_postings(docs, tmp_path):
+    spark = docs.sparkSession
+    ix = SearchIndex(str(tmp_path / "ix"), fields={"title": 30, "content": 20})
+    ix.bootstrap(spark, docs, op_id="boot")
+    assert _hits(ix, spark, "market") == {1}
+
+    changed = spark.createDataFrame(
+        [(1, "Garden report", "tulip prices fell")],
+        "doc_id long, title string, content string",
+    )
+    ix.reindex(spark, changed, op_id="re-1")
+    # stale tokens stop matching; new tokens match; others untouched
+    assert _hits(ix, spark, "market") == set()
+    assert _hits(ix, spark, "tulip") == {1, 3}
+    assert _hits(ix, spark, "relevant") == {2}
+    # the re-probe equals an inline scan over the CURRENT corpus
+    current = docs.filter(F.col("doc_id") != 1).unionByName(changed)
+    for q in ("tulip", "report", "market"):
+        idx = sorted(
+            (r.doc_id, r.score)
+            for r in ix.query(spark, q, fuzziness=None).collect()
+        )
+        inline = sorted(
+            (r.doc_id, r.score)
+            for r in SE.multi_match(current, q, fuzziness=None).collect()
+        )
+        assert idx == inline, q
+
+
+def test_search_index_reindex_replay_noop_and_compact(docs, tmp_path):
+    spark = docs.sparkSession
+    ix = SearchIndex(str(tmp_path / "ix"), fields={"title": 30, "content": 20})
+    ix.bootstrap(spark, docs, op_id="boot")
+    changed = spark.createDataFrame(
+        [(1, "Garden report", "tulip prices fell")],
+        "doc_id long, title string, content string",
+    )
+    ix.reindex(spark, changed, op_id="re-1")
+    v_post, v_tomb = ix.table.current_version(), ix.tomb.current_version()
+    ix.reindex(spark, changed, op_id="re-1")  # replay: both legs no-op
+    assert ix.table.current_version() == v_post
+    assert ix.tomb.current_version() == v_tomb
+
+    before = sorted(
+        tuple(r) for r in ix.postings(spark).orderBy("tok", "fld").collect()
+    )
+    ix.compact(spark, op_id="cmp-1")
+    after = sorted(
+        tuple(r) for r in ix.postings(spark).orderBy("tok", "fld").collect()
+    )
+    assert before == after  # compaction preserves the live view
+    assert ix.tomb.read(spark).count() == 0  # vectors folded away
+    # stale postings physically gone: raw rows == live rows
+    assert ix.table.read(spark).count() == len(after)
+    assert _hits(ix, spark, "market") == set()
+    assert _hits(ix, spark, "tulip") == {1, 3}
+
+
+def test_search_index_delete(docs, tmp_path):
+    spark = docs.sparkSession
+    ix = SearchIndex(str(tmp_path / "ix"), fields={"title": 30, "content": 20})
+    ix.bootstrap(spark, docs, op_id="boot")
+    ix.delete(
+        spark,
+        spark.createDataFrame([(2,)], "doc_id long"),
+        op_id="del-2",
+    )
+    assert _hits(ix, spark, "relevant") == set()
+    assert _hits(ix, spark, "market") == {1}
+    ix.compact(spark, op_id="cmp")
+    assert _hits(ix, spark, "relevant") == set()
+    assert ix.table.read(spark).filter(F.col("doc_id") == 2).count() == 0
+
+
+def _mh_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_T1 = (
+    "quantum harbor lighthouse repeated maritime beacon navigation "
+    "chart compass voyage rudder anchor"
+)
+_T2 = (
+    "volcanic obsidian geothermal magma basalt crater fissure "
+    "eruption lava pumice tephra vent"
+)
+
+
+def test_minhash_index_reindex_uses_only_new_signature(spark, tmp_path):
+    ix = MinHashIndex(str(tmp_path / "mh"), shingle_k=5, threshold=0.85)
+    ix.bootstrap(
+        spark, _mh_docs(spark, [(1, _T1), (2, "unrelated corpus filler "
+                                             "completely different words")]),
+        "doc_id", "text", op_id="boot",
+    )
+    # a near-copy of T1 is caught against doc 1's stored signature
+    kept, dropped = ix.dedup_batch(
+        spark, _mh_docs(spark, [(100, _T1 + " tail")]),
+        "doc_id", "text", op_id="b1",
+    )
+    assert {r.new_id: r.dup_of for r in dropped.collect()} == {100: 1}
+
+    # doc 1's page changed on re-crawl: its signature is REPLACED
+    ix.reindex(
+        spark, _mh_docs(spark, [(1, _T2)]), "doc_id", "text", op_id="re-1"
+    )
+    # old-text near-copies no longer match doc 1 (stale sig is dead)
+    kept2, dropped2 = ix.dedup_batch(
+        spark, _mh_docs(spark, [(101, _T1 + " other tail")]),
+        "doc_id", "text", op_id="b2",
+    )
+    assert 101 not in {r.new_id for r in dropped2.collect()}
+    # new-text near-copies DO match doc 1's fresh signature
+    kept3, dropped3 = ix.dedup_batch(
+        spark, _mh_docs(spark, [(102, _T2 + " tail")]),
+        "doc_id", "text", op_id="b3",
+    )
+    assert {r.new_id: r.dup_of for r in dropped3.collect()} == {102: 1}
+
+
+def test_minhash_index_reindex_replay_delete_compact(spark, tmp_path):
+    ix = MinHashIndex(str(tmp_path / "mh"), shingle_k=5, threshold=0.85)
+    ix.bootstrap(
+        spark, _mh_docs(spark, [(1, _T1), (2, _T2)]),
+        "doc_id", "text", op_id="boot",
+    )
+    ix.reindex(
+        spark, _mh_docs(spark, [(1, _T2 + " variant")]),
+        "doc_id", "text", op_id="re-1",
+    )
+    v_post, v_tomb = ix.table.current_version(), ix.tomb.current_version()
+    ix.reindex(
+        spark, _mh_docs(spark, [(1, _T2 + " variant")]),
+        "doc_id", "text", op_id="re-1",
+    )
+    assert ix.table.current_version() == v_post
+    assert ix.tomb.current_version() == v_tomb
+
+    ix.delete(
+        spark, spark.createDataFrame([(2,)], "doc_id long"), op_id="del-2"
+    )
+    live_before = sorted(
+        (r.doc_id, r.band, r.band_hash)
+        for r in ix._live(spark).collect()
+    )
+    assert {d for d, _, _ in live_before} == {1}
+    ix.compact(spark, op_id="cmp")
+    live_after = sorted(
+        (r.doc_id, r.band, r.band_hash)
+        for r in ix._live(spark).collect()
+    )
+    assert live_before == live_after
+    assert ix.tomb.read(spark).count() == 0
+    raw = ix.table.read(spark)
+    assert raw.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_crawl_engine_recrawl_roundtrip(spark, tmp_path):
+    """recrawl(): the URL is refetched next cycle, the keyed articles
+    store stays one-row-per-url (last writer wins), the inverted
+    index serves the newest cycle's postings, and replaying the
+    recrawl + cycle is a no-op."""
+    from omni_crawler_spark.frontier.crawl import CrawlEngine
+    from omni_crawler_spark.frontier.synthetic import (
+        generate_hosts,
+        generate_seeds,
+    )
+
+    eng = CrawlEngine(
+        str(tmp_path / "wh"),
+        cycle_budget_ms=10**9,
+        maintain_articles=True,
+        maintain_index=True,
+    )
+    eng.bootstrap(generate_seeds(spark, 120, partitions=4),
+                  generate_hosts(spark))
+    eng.run_cycle(spark, 1)
+    target = (
+        eng.fetched.read(spark)
+        .filter(F.col("valid"))
+        .select("url_canonical", "url_hash")
+        .first()
+    )
+
+    eng.recrawl(
+        spark,
+        spark.createDataFrame([(target.url_canonical,)], "url string"),
+        op_id="rc-1",
+    )
+    assert (
+        eng.seen.read(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .count()
+        == 0
+    )
+    eng.run_cycle(spark, 2)
+    fetched = eng.fetched.read(spark).filter(
+        F.col("url_hash") == target.url_hash
+    )
+    assert sorted(r.cycle_id for r in fetched.collect()) == [1, 2]
+    # keyed store: exactly one live row, from the newest crawl
+    art = eng.articles.read(spark).filter(
+        F.col("url_hash") == target.url_hash
+    )
+    assert art.count() == 1
+    # index: only the newest cycle's postings serve this doc
+    idx = eng.index.read(spark).filter(
+        F.col("url_hash") == target.url_hash
+    )
+    newest = idx.groupBy("url_hash").agg(F.max("cycle_id").alias("c"))
+    assert newest.collect()[0].c == 2
+    # replay: recrawl + cycle with the same op ids are no-ops
+    v_seen = eng.seen.current_version()
+    v_frontier = eng.frontier.current_version()
+    eng.recrawl(
+        spark,
+        spark.createDataFrame([(target.url_canonical,)], "url string"),
+        op_id="rc-1",
+    )
+    assert eng.seen.current_version() == v_seen
+    assert eng.frontier.current_version() == v_frontier
