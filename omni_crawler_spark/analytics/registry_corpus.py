@@ -770,51 +770,140 @@ def pipeline_pretrain_corpus(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+def _gram_ctes(k: int) -> str:
+    """DuckDB CTE chain computing per-doc top-/dup-k-gram character
+    stats: explode gram start positions (unnest of generate_series),
+    GROUP BY (doc, gram) for counts, then the per-doc aggregates —
+    top uses the max-chars tie-break among max-count grams so the
+    value is deterministic (same contract as operators/quality.py)."""
+    terms = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    chars = " + ".join(f"len(ws[i+{j}])" for j in range(k))
+    return f"""
+    g{k} AS (
+      SELECT doc_id, tc, unnest(generate_series(1, n - {k - 1})) AS i, ws
+      FROM base WHERE n >= {k}
+    ), g{k}g AS (
+      SELECT doc_id, tc, {terms} AS gram, {chars} AS chars FROM g{k}
+    ), g{k}c AS (
+      SELECT doc_id, any_value(tc) AS tc, gram, COUNT(*) AS cnt,
+             any_value(chars) AS chars
+      FROM g{k}g GROUP BY doc_id, gram
+    ), g{k}m AS (
+      SELECT doc_id, MAX(cnt) AS mc FROM g{k}c GROUP BY doc_id
+    ), g{k}a AS (
+      SELECT c.doc_id,
+             CASE WHEN any_value(c.tc) = 0 THEN 0.0 ELSE
+               CAST(any_value(m.mc) *
+                    MAX(CASE WHEN c.cnt = m.mc THEN c.chars END)
+                    AS DOUBLE) / any_value(c.tc) END AS top{k}_raw,
+             CASE WHEN any_value(c.tc) = 0 THEN 0.0 ELSE
+               CAST(COALESCE(SUM(CASE WHEN c.cnt >= 2
+                                      THEN c.cnt * c.chars END), 0)
+                    AS DOUBLE) / any_value(c.tc) END AS dup{k}_raw
+      FROM g{k}c c JOIN g{k}m m ON m.doc_id = c.doc_id
+      GROUP BY c.doc_id
+    )"""
+
+
 @register(
     "filter_gopher_quality",
-    """
+    f"""
     WITH w AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
-    ), sig AS (
-      SELECT doc_id,
-             len(ws) AS n_words,
-             ROUND(CAST(list_sum(list_transform(ws, x -> len(x)))
-                        AS DOUBLE) / len(ws), 4) AS mean_word_len,
+      SELECT doc_id, lower(text) AS lt,
+             string_split(lower(text), ' ') AS ws,
+             string_split(lower(text), chr(10)) AS ls
+      FROM documents
+    ), base AS (
+      SELECT doc_id, ws, ls, lt, len(ws) AS n,
+             CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+               AS tc
+      FROM w
+    ), sig0 AS (
+      SELECT doc_id, n AS n_words,
+             ROUND(CAST(tc AS DOUBLE) / n, 4) AS mean_word_len,
              ROUND(CAST(len(list_filter(ws,
                         x -> regexp_matches(x, '[a-z]')))
-                        AS DOUBLE) / len(ws), 4) AS alpha_frac,
-             CASE WHEN len(ws) >= 2 THEN
-               ROUND(CAST(len(ws) - 1 - len(list_distinct(
-                 list_transform(generate_series(1, len(ws) - 1),
+                        AS DOUBLE) / n, 4) AS alpha_frac,
+             CASE WHEN n >= 2 THEN
+               ROUND(CAST(n - 1 - len(list_distinct(
+                 list_transform(generate_series(1, n - 1),
                                 i -> ws[i] || ' ' || ws[i+1])))
-                 AS DOUBLE) / (len(ws) - 1), 4)
-             ELSE 0.0 END AS dup_bigram_frac
-      FROM w
-    )
-    SELECT doc_id, n_words, mean_word_len, alpha_frac, dup_bigram_frac,
-           CASE WHEN n_words BETWEEN 50 AND 100000
-                 AND mean_word_len BETWEEN 3 AND 10
-                 AND alpha_frac >= 0.8
-                 AND dup_bigram_frac <= 0.6
+                 AS DOUBLE) / (n - 1), 4)
+             ELSE 0.0 END AS dup_bigram_frac,
+             ROUND(CAST(
+                 (len(lt) - len(replace(lt, '#', '')))
+               + (len(lt) - len(replace(lt, '…', '')))
+               + (len(lt) - len(replace(lt, '...', ''))) // 3
+               AS DOUBLE) / n, 4) AS symbol_ratio,
+             ROUND(CAST(len(list_filter(ls, l ->
+                 starts_with(trim(l, ' '), '•')
+                 OR starts_with(trim(l, ' '), '- ')
+                 OR starts_with(trim(l, ' '), '* ')))
+                 AS DOUBLE) / len(ls), 4) AS bullet_line_frac,
+             ROUND(CAST(len(list_filter(ls, l ->
+                 ends_with(trim(l, ' '), '...')
+                 OR ends_with(trim(l, ' '), '…')))
+                 AS DOUBLE) / len(ls), 4) AS ellipsis_line_frac,
+             CAST(len(list_intersect(list_distinct(ws),
+                  {_GOPHER_STOP_SQL})) AS BIGINT) AS stop_hits
+      FROM base
+    ), {_gram_ctes(2)}, {_gram_ctes(3)}, {_gram_ctes(4)}
+    SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_frac,
+           s.dup_bigram_frac, s.symbol_ratio, s.bullet_line_frac,
+           s.ellipsis_line_frac, s.stop_hits,
+           ROUND(COALESCE(a3.dup3_raw, 0.0), 4) AS dup_3gram_frac,
+           ROUND(COALESCE(a4.dup4_raw, 0.0), 4) AS dup_4gram_frac,
+           ROUND(COALESCE(a2.top2_raw, 0.0), 4) AS top_2gram_frac,
+           ROUND(COALESCE(a3.top3_raw, 0.0), 4) AS top_3gram_frac,
+           ROUND(COALESCE(a4.top4_raw, 0.0), 4) AS top_4gram_frac,
+           CASE WHEN s.n_words BETWEEN 50 AND 100000
+                 AND s.mean_word_len BETWEEN 3 AND 10
+                 AND s.alpha_frac >= 0.8
+                 AND s.dup_bigram_frac <= 0.6
+                 AND s.symbol_ratio <= 0.1
+                 AND s.bullet_line_frac <= 0.9
+                 AND s.ellipsis_line_frac <= 0.3
+                 AND s.stop_hits >= 1
+                 AND ROUND(COALESCE(a3.dup3_raw, 0.0), 4) <= 0.5
+                 AND ROUND(COALESCE(a4.dup4_raw, 0.0), 4) <= 0.4
+                 AND ROUND(COALESCE(a2.top2_raw, 0.0), 4) <= 0.20
+                 AND ROUND(COALESCE(a3.top3_raw, 0.0), 4) <= 0.18
+                 AND ROUND(COALESCE(a4.top4_raw, 0.0), 4) <= 0.16
                 THEN 'keep' ELSE 'drop' END AS verdict
-    FROM sig ORDER BY doc_id
+    FROM sig0 s
+    LEFT JOIN g2a a2 ON a2.doc_id = s.doc_id
+    LEFT JOIN g3a a3 ON a3.doc_id = s.doc_id
+    LEFT JOIN g4a a4 ON a4.doc_id = s.doc_id
+    ORDER BY s.doc_id
     """,
-    doc="Gopher quality rules (Rae et al. 2021 §A1.1, the published "
-    "pretraining filter battery): per-doc word count bounds, mean "
-    "word length [3,10], fraction-of-words-with-an-alphabetic-char "
-    ">=0.8, and the repetition signal (duplicate word-bigram "
-    "fraction) — every signal value AND the keep/drop verdict "
-    "value-hash-checked against the DuckDB twin. Thresholds compare "
-    "the ROUNDED signals on both engines so boundary docs cannot "
-    "flake. 100 TB shape: signals come from ONE Arrow-vectorized "
-    "kernel pass over the scan (the pure-HOF column version measured "
-    "18.5 s at sf0.1 — Spark never codegens HOF lambdas, so six "
-    "nested interpreted HOFs per row lose to an Arrow batch by ~15x, "
-    "the round-1 interpreted-after-UDF lesson); rounding stays "
-    "JVM-side (F.round half-up ≡ DuckDB ROUND) so values are "
-    "bit-identical to the SQL twin. Embarrassingly parallel, zero "
-    "shuffle before the ordered output; the verdict column is exactly "
-    "the predicate a corpus build pushes into its first filter stage",
+    doc="Gopher quality rules (Rae et al. 2021 §A1.1) — the FULL "
+    "published battery: word-count bounds [50,1e5], mean word length "
+    "[3,10], alphabetic-word fraction >=0.8, symbol-to-word ratio "
+    "(#/ellipsis) <=0.1, bullet-line fraction <=0.9, ellipsis-line "
+    "fraction <=0.3, the required-stop-word rule (the paper wants "
+    ">=2 of the 8 Gopher stop words; this synthetic corpus's "
+    "vocabulary carries only 'the', so the verdict uses >=1 to "
+    "keep the rule non-degenerate — stop_hits itself reports the "
+    "true count), duplicate word-bigram fraction <=0.6, "
+    "duplicate 3/4-gram character fractions (<=0.5/0.4 — adapted "
+    "thresholds: the paper's dup battery starts at 5-grams; the "
+    "3/4-gram variants are the same signal tuned to this corpus's "
+    "short docs) and top-2/3/4-gram character fractions "
+    "(<=0.20/0.18/0.16, the published values). EVERY signal value "
+    "AND the composite keep/drop verdict is value-hash-checked "
+    "against the DuckDB twin; thresholds compare the ROUNDED signals "
+    "on both engines so boundary docs cannot flake. 100 TB shape: "
+    "all 13 signals come from ONE Arrow-vectorized kernel pass over "
+    "the scan (operators/quality.py — the pure-HOF column version "
+    "measured 18.5 s at sf0.1 vs ~1 s, the round-1 "
+    "interpreted-after-UDF lesson); rounding stays JVM-side (F.round "
+    "half-up ≡ DuckDB ROUND) so values are bit-identical to the SQL "
+    "twin. Embarrassingly parallel, zero shuffle before the ordered "
+    "output; the verdict column is exactly the predicate a corpus "
+    "build pushes into its first filter stage",
 )
 def filter_gopher_quality(spark, sf_dir):
     from omni_crawler_spark.operators.quality import gopher_signals_udf
@@ -828,12 +917,30 @@ def filter_gopher_quality(spark, sf_dir):
         F.round(F.col("g.mean_raw"), 4).alias("mean_word_len"),
         F.round(F.col("g.alpha_raw"), 4).alias("alpha_frac"),
         F.round(F.col("g.dup_raw"), 4).alias("dup_bigram_frac"),
+        F.round(F.col("g.symbol_raw"), 4).alias("symbol_ratio"),
+        F.round(F.col("g.bullet_raw"), 4).alias("bullet_line_frac"),
+        F.round(F.col("g.ellip_raw"), 4).alias("ellipsis_line_frac"),
+        F.col("g.stop_hits").alias("stop_hits"),
+        F.round(F.col("g.dup3_raw"), 4).alias("dup_3gram_frac"),
+        F.round(F.col("g.dup4_raw"), 4).alias("dup_4gram_frac"),
+        F.round(F.col("g.top2_raw"), 4).alias("top_2gram_frac"),
+        F.round(F.col("g.top3_raw"), 4).alias("top_3gram_frac"),
+        F.round(F.col("g.top4_raw"), 4).alias("top_4gram_frac"),
     )
     verdict = F.when(
         F.col("n_words").between(50, 100000)
         & F.col("mean_word_len").between(3, 10)
         & (F.col("alpha_frac") >= 0.8)
-        & (F.col("dup_bigram_frac") <= 0.6),
+        & (F.col("dup_bigram_frac") <= 0.6)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("stop_hits") >= 1)
+        & (F.col("dup_3gram_frac") <= 0.5)
+        & (F.col("dup_4gram_frac") <= 0.4)
+        & (F.col("top_2gram_frac") <= 0.20)
+        & (F.col("top_3gram_frac") <= 0.18)
+        & (F.col("top_4gram_frac") <= 0.16),
         F.lit("keep"),
     ).otherwise(F.lit("drop"))
     return sig.withColumn("verdict", verdict).orderBy("doc_id")

@@ -176,7 +176,7 @@ def test_decontaminate_flags_known_cliques(spark):
 
 def test_gopher_rules_verdict_semantics(spark):
     """Verdict must be exactly the conjunction of the rounded-signal
-    thresholds, and short docs (<50 words) must drop."""
+    thresholds (full battery), and short docs (<50 words) must drop."""
     rows = REGISTRY["filter_gopher_quality"].build(spark, SF).collect()
     assert len(rows) > 0
     seen = {r.verdict for r in rows}
@@ -187,9 +187,72 @@ def test_gopher_rules_verdict_semantics(spark):
             and 3 <= r.mean_word_len <= 10
             and r.alpha_frac >= 0.8
             and r.dup_bigram_frac <= 0.6
+            and r.symbol_ratio <= 0.1
+            and r.bullet_line_frac <= 0.9
+            and r.ellipsis_line_frac <= 0.3
+            and r.stop_hits >= 1
+            and r.dup_3gram_frac <= 0.5
+            and r.dup_4gram_frac <= 0.4
+            and r.top_2gram_frac <= 0.20
+            and r.top_3gram_frac <= 0.18
+            and r.top_4gram_frac <= 0.16
         )
         assert (r.verdict == "keep") == want, r
         assert 0.0 <= r.dup_bigram_frac < 1.0
+
+
+def test_gopher_kernel_crafted_signals(spark):
+    """The signals the parquet corpus can't exercise (no newlines, no
+    symbols): hand-computed values for crafted bullet/ellipsis/symbol
+    /repetition docs, straight through the Arrow kernel."""
+    from omni_crawler_spark.operators.quality import gopher_signals_udf
+
+    docs = [
+        # 0: bullets + ellipsis lines + symbols
+        ("• first item\n- second thing\nplain line\nwait for it...\n"
+         "more # and # plus … and ..."),
+        # 1: heavy 3-gram repetition ("a b c" ×3 in 9 words)
+        ("a b c a b c a b c"),
+        # 2: all-distinct words, no repetition
+        ("the quick brown fox jumps over lazy dogs"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i long, text string"
+    )
+    got = {
+        r.i: r.g
+        for r in df.select(
+            "i", gopher_signals_udf()(F.col("text")).alias("g")
+        ).collect()
+    }
+    g0 = got[0]
+    n0 = len(docs[0].split(" "))  # split on spaces only — '\n' stays
+    assert g0.n_words == n0
+    # 5 lines: 2 bullet-led ('• ', '- '); 2 end in '...'
+    assert g0.bullet_raw == 2 / 5
+    assert g0.ellip_raw == 2 / 5
+    # symbols: '#'x2 + '…'x1 + '...'x2 ("it..." and the final "...")
+    assert g0.symbol_raw == 5 / n0
+    # space-split words include 'and' (twice) but no other whole-word
+    # Gopher stop ('for' is not in the list; 'it...' carries dots)
+    assert g0.stop_hits == 1
+    g1 = got[1]
+    # ws = 9 words, tc = 9 chars. 3-grams (7 with overlap): (a,b,c)x3,
+    # (b,c,a)x2, (c,a,b)x2 — ALL duplicated:
+    # dup3 = (3*3 + 2*3 + 2*3)/9 = 21/9; top3 = 3*3/9 = 1.0
+    assert abs(g1.dup3_raw - 21 / 9) < 1e-12
+    assert g1.top3_raw == 1.0
+    assert g1.stop_hits == 0
+    g2 = got[2]
+    assert g2.dup3_raw == 0.0 and g2.dup4_raw == 0.0
+    assert g2.stop_hits == 1  # only 'the' of the 8 stop words
+    # all bigrams distinct: top2 = 1 * max-bigram-chars / tc
+    ws2 = docs[2].split(" ")
+    tc2 = sum(len(w) for w in ws2)
+    best = max(len(a) + len(b) for a, b in zip(ws2, ws2[1:]))
+    assert abs(g2.top2_raw - best / tc2) < 1e-12
 
 
 def test_mix_weights_recover_target_mixture(spark):
