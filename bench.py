@@ -42,6 +42,10 @@ HEADLINE = [
     # training-data pipeline operators
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "dedup_minhash_realistic",
+    "dedup_hamming_verify",
+    "alerts_cooldown_greedy",
+    "pipeline_multimodal_counts",
     "pipeline_training_data",
     "dedup_ngram_jaccard",
     "dedup_passage",

@@ -1,7 +1,11 @@
-"""Multimodal + end-to-end crawl queries (rows-only: their inputs are
-the deterministic generated images/frontier, not the driver's parquet
-tables, so there is no DuckDB twin — pytest owns their correctness:
-tests/test_images.py, tests/test_frontier.py)."""
+"""Multimodal + end-to-end crawl queries. Mostly rows-only (their
+inputs are the deterministic generated images/frontier, not the
+driver's parquet tables, so there is no DuckDB twin — pytest owns
+their correctness: tests/test_images.py, tests/test_frontier.py);
+``pipeline_multimodal_counts`` oracle-pairs the SQL-expressible
+prefix of the image pipeline (metadata validation + pHash dedup
+stage counts) over a metadata table both engines derive from
+``documents``."""
 
 from __future__ import annotations
 
@@ -10,7 +14,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from omni_crawler_spark.analytics.registry import register
+from omni_crawler_spark.analytics.registry import _t, register
 from omni_crawler_spark.operators import multimodal as M
 
 
@@ -116,6 +120,124 @@ def pipeline_multimodal(spark, sf_dir):
                     2,
                 ).alias("avg_mean_r"),
             )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired prefix of the image pipeline: both engines derive the
+# SAME image-metadata table (w/h/fmt bounds + a 64-bit phash) from
+# `documents` via pure arithmetic + md5, so the decode-free stages —
+# stored-metadata validation and pHash hamming dedup — are exact SQL.
+# The pixel stages (decode/PSNR/resize/features) stay in the
+# rows-only pipeline_multimodal with pytest invariants.
+# ---------------------------------------------------------------------------
+
+_MM_META_SQL = """
+    SELECT doc_id AS image_id,
+           CASE WHEN doc_id % 37 = 0 THEN 0
+                ELSE 32 + (doc_id % 13) * 16 END AS w,
+           CASE WHEN doc_id % 41 = 0 THEN 20000
+                ELSE 32 + (doc_id % 11) * 16 END AS h,
+           CASE WHEN doc_id % 29 = 0 THEN 'tiff'
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash
+    FROM documents
+"""
+
+
+@register(
+    "pipeline_multimodal_counts",
+    f"""
+    WITH meta0 AS ({_MM_META_SQL}),
+    copies AS (
+      SELECT image_id + 100000 AS image_id, w, h, fmt,
+             xor(phash, 3) AS phash
+      FROM meta0 WHERE image_id < 7
+    ),
+    meta AS (SELECT * FROM meta0 UNION ALL SELECT * FROM copies),
+    pairs AS (
+      SELECT a.image_id AS id_a, b.image_id AS id_b
+      FROM meta a JOIN meta b
+        ON a.image_id < b.image_id
+       AND bit_count(xor(a.phash, b.phash)) <= 8
+    ),
+    drops AS (SELECT DISTINCT id_b AS image_id FROM pairs),
+    deduped AS (
+      SELECT m.* FROM meta m ANTI JOIN drops d USING (image_id)
+    ),
+    valid AS (
+      SELECT * FROM deduped
+      WHERE w BETWEEN 32 AND 8192 AND h BETWEEN 32 AND 8192
+        AND fmt IN ('png', 'jpeg')
+    )
+    SELECT (SELECT COUNT(*) FROM meta) AS n_in,
+           (SELECT COUNT(*) FROM pairs) AS n_dup_pairs,
+           (SELECT COUNT(*) FROM deduped) AS n_after_dedup,
+           (SELECT COUNT(*) FROM valid) AS n_meta_valid
+    """,
+    doc="the SQL-expressible PREFIX of pipeline_multimodal, "
+    "oracle-paired: stage counts for pHash near-dup dedup "
+    "(hamming<=8 over stored 64-bit signatures, planted 2-bit-flip "
+    "copies) followed by stored-metadata validation (w/h in "
+    "[32,8192], fmt in {{png,jpeg}} — planted invalid rows at "
+    "doc_id%37/%41/%29). Both engines derive the identical metadata "
+    "table from `documents` (arithmetic dims/fmt + md5-derived "
+    "phash), the Spark side runs the REAL banded operator "
+    "(operators/dedup.py::hamming_near_dups, 9-band pigeonhole, full "
+    "recall under the bucket cap) while the oracle computes the "
+    "all-pairs ground truth — so the count match also re-proves "
+    "banded recall == exhaustive on this corpus. The decode/PSNR/"
+    "resize stages cannot be oracled and stay pytest-pinned in "
+    "pipeline_multimodal. 100 TB shape: the dedup is the banded "
+    "self-join (never n^2); validation is a scan predicate",
+)
+def pipeline_multimodal_counts(spark, sf_dir):
+    from omni_crawler_spark.operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    meta0 = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.when(F.col("doc_id") % 37 == 0, 0)
+        .otherwise(32 + (F.col("doc_id") % 13) * 16)
+        .alias("w"),
+        F.when(F.col("doc_id") % 41 == 0, 20000)
+        .otherwise(32 + (F.col("doc_id") % 11) * 16)
+        .alias("h"),
+        F.when(F.col("doc_id") % 29 == 0, F.lit("tiff"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("jpeg"))
+        .alias("fmt"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    copies = meta0.filter(F.col("image_id") < 7).select(
+        (F.col("image_id") + 100000).alias("image_id"),
+        "w", "h", "fmt",
+        F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    meta = meta0.unionByName(copies)
+    pairs = D.hamming_near_dups(
+        meta.select("image_id", F.col("phash").alias("sig")),
+        "image_id",
+        max_hamming=8,
+    )
+    drops = pairs.select(F.col("id_b").alias("image_id")).distinct()
+    deduped = meta.join(drops, "image_id", "left_anti")
+    valid = deduped.filter(
+        F.col("w").between(32, 8192)
+        & F.col("h").between(32, 8192)
+        & F.col("fmt").isin("png", "jpeg")
+    )
+    return (
+        meta.agg(F.count("*").alias("n_in"))
+        .crossJoin(F.broadcast(pairs.agg(F.count("*").alias("n_dup_pairs"))))
+        .crossJoin(
+            F.broadcast(deduped.agg(F.count("*").alias("n_after_dedup")))
+        )
+        .crossJoin(
+            F.broadcast(valid.agg(F.count("*").alias("n_meta_valid")))
         )
     )
 

@@ -95,14 +95,62 @@ def alerts_cooldown_bucket(spark, sf_dir):
 
 @register(
     "alerts_cooldown_greedy",
-    None,
-    doc="T3 — reference-exact cooldown (last_triggered + cooldown gate, "
-    "alert_engine.py:120-124) via applyInPandas keyed by rule; verified "
+    f"""
+    WITH RECURSIVE {_RULES_CTE},
+    fired AS (
+      SELECT DISTINCT rule_id, name, severity, ts, value, metric,
+             cooldown_minutes
+      FROM events e JOIN rules r ON e.event_type = r.metric
+      WHERE {_COND_SQL}
+    ),
+    sel AS (
+      SELECT rule_id, name, severity, ts, value, metric,
+             cooldown_minutes
+      FROM fired f
+      WHERE NOT EXISTS (
+        SELECT 1 FROM fired f2 WHERE f2.rule_id = f.rule_id
+          AND (f2.ts < f.ts OR (f2.ts = f.ts AND f2.value < f.value)))
+      UNION ALL
+      SELECT f.rule_id, f.name, f.severity, f.ts, f.value, f.metric,
+             f.cooldown_minutes
+      FROM sel s
+      JOIN fired f ON f.rule_id = s.rule_id
+        AND f.ts >= s.ts + to_minutes(CAST(s.cooldown_minutes AS BIGINT))
+      WHERE NOT EXISTS (
+        SELECT 1 FROM fired f2 WHERE f2.rule_id = s.rule_id
+          AND f2.ts >= s.ts + to_minutes(CAST(s.cooldown_minutes AS BIGINT))
+          AND (f2.ts < f.ts OR (f2.ts = f.ts AND f2.value < f.value)))
+    )
+    SELECT rule_id, name, severity,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value, metric
+    FROM sel ORDER BY rule_id, ts_s, value
+    """,
+    doc="T3 — reference-exact cooldown (fire iff ts >= last_triggered "
+    "+ cooldown, alert_engine.py:120-124): the inherently sequential "
+    "per-rule replay runs via applyInPandas keyed by rule_id (state "
+    "is executor-local; #rules is tiny). Oracle-paired via a DuckDB "
+    "RECURSIVE CTE that walks the same greedy chain — anchor = the "
+    "(ts,value)-minimal fired event per rule, step = the minimal "
+    "fired event past the previous fire's cooldown horizon (NOT "
+    "EXISTS argmin, no aggregates in the recursive term) — the same "
+    "trick dedup_cluster_cc uses for transitive closure. DISTINCT on "
+    "the fired set keeps duplicate (rule,ts,value) rows from forking "
+    "the chain (the replay fires such a pair once). Also verified "
     "against a pure-Python replay in tests/test_alerts.py",
 )
 def alerts_cooldown_greedy(spark, sf_dir):
-    fired = A.evaluate(_metrics(spark, sf_dir), A.default_rules(spark))
-    return A.cooldown_greedy(fired).orderBy("rule_id", "ts")
+    fired = A.evaluate(
+        _metrics(spark, sf_dir), A.default_rules(spark)
+    ).dropDuplicates(["rule_id", "ts", "value"])
+    return (
+        A.cooldown_greedy(fired)
+        .select(
+            "rule_id", "name", "severity",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value", "metric",
+        )
+        .orderBy("rule_id", "ts_s", "value")
+    )
 
 
 @register(

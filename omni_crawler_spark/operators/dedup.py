@@ -425,6 +425,15 @@ def hash_word(w: str) -> int:
     return h
 
 
+def hamming64_cols(sig_a, sig_b):
+    """THE hamming kernel: popcount of the XOR of two 64-bit
+    signatures — pure codegen'd column expression shared by
+    ``hamming_near_dups`` (SimHash/pHash blocking verify) and the
+    oracle-paired ``dedup_hamming_verify`` registry query (DuckDB
+    twin: ``bit_count(xor(a, b))``)."""
+    return F.bit_count(sig_a.bitwiseXOR(sig_b))
+
+
 def hamming_near_dups(
     sig: DataFrame,
     id_col: str,
@@ -502,9 +511,7 @@ def hamming_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
-            ).alias("hamming"),
+            hamming64_cols(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
         .distinct()
     )

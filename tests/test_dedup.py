@@ -249,3 +249,23 @@ def test_duplicate_clusters_with_minhash_pipeline(corpus):
     assert clusters.get(100) == 100
     assert clusters.get(101) == 100
     assert clusters.get(102) == 100
+
+
+def test_minhash_realistic_corpus_recovers_only_planted(spark):
+    """The realistic-collision twin of dedup_minhash_lsh: doc-salted
+    words kill organic shingle overlap, so the confirmed pairs are
+    exactly the 25 planted near-copies — the production collision
+    profile the bench's headline number should reflect."""
+    from omni_crawler_spark.analytics import REGISTRY
+
+    rows = REGISTRY["dedup_minhash_realistic"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    planted = {(i, i + 100000) for i in range(25)}
+    assert planted <= pairs
+    # organic confirmed pairs ~0 on a salted corpus
+    assert len(pairs - planted) <= 2
+    for r in rows:
+        if (r.id_a, r.id_b) in planted:
+            assert r.jaccard >= 0.8
