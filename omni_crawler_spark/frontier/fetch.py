@@ -45,7 +45,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from omni_crawler_spark.frontier.synthetic import synth_page_html
+from omni_crawler_spark.frontier.synthetic import (
+    synth_page_html,
+    synth_sitemap_xml,
+)
 
 _RE_HEAD = re.compile(r"(?is)<head[^>]*>.*?</head>")
 _RE_BLOCKS = re.compile(r"(?is)<(script|style|noscript|template)[^>]*>.*?</\1>")
@@ -242,12 +245,45 @@ def engine_for(url_hash: int) -> tuple[str, int]:
     return ENGINE_CHAIN[-1], len(ENGINE_CHAIN)
 
 
+_RE_LOC = re.compile(r"(?i)<loc>([^<]*)</loc>")
+
+
 def process_page(
     url: str, host: str, url_hash: int, crawl_seq: int
 ) -> dict:
     """Fetch one page (synthetic server) and produce the article
-    record — the per-row codec invoked from the Arrow batch loop."""
+    record — the per-row codec invoked from the Arrow batch loop.
+
+    A ``/sitemap.xml`` URL (discovered via a robots ``Sitemap:``
+    directive, frontier/politeness.py::parse_robots_sitemaps) fetches
+    the host's sitemap instead of an article: its ``<loc>`` entries
+    become the record's ``links`` — they flow through the SAME
+    discovery path as page links into the next cycle's frontier
+    (reference: url_discovery_engine.py:58-89 sitemap parse). The
+    record is valid=False (a sitemap is not an article; it still
+    lands in the fetched log with lineage, and its URL joins the
+    seen set like any attempt)."""
     crawler_engine, n_engine_attempts = engine_for(int(url_hash))
+    if url.endswith("/sitemap.xml"):
+        xml = synth_sitemap_xml(host, int(url_hash))
+        return {
+            "status": 200,
+            "links": _RE_LOC.findall(xml),
+            "title": "Sitemap",
+            "content": "",
+            "caption": "",
+            "image_id": None,
+            "word_count": 0,
+            "content_length": 0,
+            "valid": False,
+            "article_id": (
+                "sitemap_" + hashlib.md5(url.encode()).hexdigest()[:8]
+            ),
+            "quality_score": 0,
+            "category": "sitemap",
+            "crawler_engine": crawler_engine,
+            "n_engine_attempts": n_engine_attempts,
+        }
     status, html = synth_page_html(int(url_hash), int(crawl_seq))
     body_html = _RE_HEAD.sub(" ", html)
     # main-content extraction first (content_cleaner.py:78-82: use the

@@ -184,3 +184,24 @@ def synth_page_html(url_hash: int, article_no: int) -> tuple[int, str]:
         f"</body></html>"
     )
     return 200, html
+
+
+_SITEMAP_SALT = 0x51745
+
+
+def synth_sitemap_xml(host: str, url_hash: int) -> str:
+    """Deterministic sitemap XML served for a host's ``/sitemap.xml``
+    URL — the synthetic-web analog of the reference's sitemap source
+    (url_discovery_engine.py:58-89 parses exactly this shape). 3-6
+    ``<loc>`` entries pointing at same-host article pages; pure
+    function of (host, url hash) like every other synthetic fetch."""
+    import numpy as np
+
+    rng = np.random.default_rng((url_hash & 0xFFFFFFFFFFFF) ^ _SITEMAP_SALT)
+    n = int(rng.integers(3, 7))
+    locs = "".join(
+        f"<url><loc>https://{host}/sec{int(rng.integers(0, 7))}"
+        f"/article-{int(rng.integers(0, 10**6))}</loc></url>"
+        for _ in range(n)
+    )
+    return f'<?xml version="1.0" encoding="UTF-8"?><urlset>{locs}</urlset>'

@@ -16,7 +16,10 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from omni_crawler_spark.frontier.synthetic import synth_page_html
+from omni_crawler_spark.frontier.synthetic import (
+    synth_page_html,
+    synth_sitemap_xml,
+)
 from omni_crawler_spark.frontier.xxh64 import xxh64_str
 
 # --- canonicalization (mirror of functions/urls.py rules) -----------------
@@ -197,9 +200,25 @@ def simulate(
     cycle_budget_ms: int,
     n_cycles: int,
 ) -> SimResult:
+    from datetime import datetime as _dt
+
     res = SimResult(order=[])
     # frontier entries: dicts with url, priority, discovery_ts, source
     frontier = [dict(s) for s in seeds]
+    # robots Sitemap: directives seed the frontier at bootstrap
+    # (mirror of CrawlEngine._seed_robots_sitemaps)
+    for host in sorted(hosts):
+        txt = hosts[host].get("robots_txt")
+        if txt:
+            for sm in re.findall(r"(?im)^\s*Sitemap:\s*(\S+)", txt):
+                frontier.append(
+                    {
+                        "url": sm,
+                        "priority": 10,
+                        "source": "sitemap-robots",
+                        "discovery_ts": _dt(2025, 1, 1),
+                    }
+                )
     for s in frontier:
         s["canonical"] = canonicalize(s["url"])
         s["hash"] = xxh64_str(s["canonical"])
@@ -250,6 +269,23 @@ def simulate(
         for r in scheduled:
             seen_hashes.add(r["hash"])
             res.seen.add(r["canonical"])
+            if path_of(r["canonical"]) == "/sitemap.xml":
+                # sitemap fetch: <loc> entries flow through the same
+                # discovery path as page links; no article stored
+                xml = synth_sitemap_xml(r["host"], r["hash"])
+                for loc in re.findall(r"(?i)<loc>([^<]*)</loc>", xml):
+                    canonical = canonicalize(loc)
+                    discovered.append(
+                        {
+                            "url": loc,
+                            "canonical": canonical,
+                            "hash": xxh64_str(canonical),
+                            "priority": 3,
+                            "source": "link",
+                            "discovery_ts": link_ts,
+                        }
+                    )
+                continue
             status, html = synth_page_html(r["hash"], r["crawl_seq"])
             if status != 200:
                 continue
