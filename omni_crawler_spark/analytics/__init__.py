@@ -23,70 +23,71 @@ from omni_crawler_spark.analytics.registry import REGISTRY  # noqa: F401
 # Driver-window priority order.
 #
 # The correctness driver checks the FIRST 50 entries of queries() per
-# round (insertion order of REGISTRY). Round-4 rotation policy: lead
+# round (insertion order of REGISTRY). Round-5 rotation policy: lead
 # with the queries whose code/plan/persisted-state changed THIS round
-# (the driver must re-verify them), then the oracle-paired queries
-# whose newest driver green is oldest (the round-2 set — round 3
-# re-checked everything else). After this round no oracle-paired
-# query's newest driver green predates r03. Absent names are skipped,
+# (new oracle pairings + everything touching the deletion-vector
+# index path / widened Gopher battery / sitemap-aware fetch), then
+# the 3 queries whose newest driver green is round 2, then the full
+# round-3-green set (31 names) — after this round no oracle-paired
+# query's newest driver green predates r04. Absent names are skipped,
 # so the list is safe against renames.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # changed in round 4: persisted search index, hashed+capped
-    # passage dedup, PageRank oracle constant, new verify query,
-    # fingerprint-keyed cache roots (fresh persisted state)
-    "search_fulltext",
-    "dedup_passage",
-    "graph_pagerank",
-    "dedup_minhash_verify",
-    "filter_gopher_quality",
-    "corpus_mix_weights",
-    "dedup_incremental_batch",
+    # changed/new in round 5
+    "dedup_hamming_verify",        # NEW oracle-paired hamming kernel
+    "pipeline_multimodal_counts",  # NEW oracle-paired pipeline prefix
+    "alerts_cooldown_greedy",      # newly oracle-paired (recursive CTE)
+    "filter_gopher_quality",       # widened to the full battery
+    "search_fulltext",             # SearchIndex gained deletion vectors
+    "dedup_passage",               # judge watch item: re-confirm parity
+    "dedup_incremental_batch",     # MinHashIndex gained deletion vectors
+    "crawl_frontier_drain",        # sitemap-aware fetch + robots wildcards
+    # newest driver green is round 2 — stalest first
+    "enrich_key_phrases",
+    "join_asof_last_error",
+    "scalar_excerpt",
+    # newest driver green is round 3
+    "agg_global_count",
+    "alerts_cooldown_bucket",
+    "alerts_eval",
+    "clean_main_content",
+    "corpus_chunk_windows",
+    "corpus_quantiles",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_star",
+    "dedup_embedding_cosine",
+    "enrich_entities_regex",
+    "filter_decontaminate",
+    "join_semi_recent",
+    "pipeline_pretrain_corpus",
+    "pipeline_training_data",
+    "scalar_datetime_parse",
+    "scalar_html_extract",
+    "search_bm25",
+    "search_rank",
+    "search_sorted_date",
+    "search_sorted_quality",
+    "sim_topk_cosine",
+    "source_rss_parse",
+    "source_sitemap_parse",
+    "text_langid_ngram",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "validator_score",
+    "window_history_trim",
+    "window_topk_salted",
+    "window_trailing_recent",
+    "window_tumbling_hourly",
+    # round-4 greens that interact with this round's changes
     "sim_ivf_incremental",
     "join_bucketed_colocated",
     "layout_partition_prune",
+    "graph_pagerank",
+    "dedup_minhash_verify",
     "sample_stratified",
-    # newest driver green is round 2 — oracle-paired, oldest first
-    "text_token_count",
-    "search_highlight",
-    "search_facets",
-    "agg_count_distinct",
-    "agg_multi_stat",
-    "agg_by_category",
-    "agg_domain_topn",
-    "agg_daily_counts",
-    "agg_pivot_daily_type",
-    "agg_word_topk",
-    "agg_quality_buckets",
-    "agg_success_rate",
-    "agg_search_analytics",
-    "window_recent_100",
-    "window_topk",
-    "window_pagination",
-    "window_per_group_topk",
-    "join_fact_dim",
-    "join_lineitem_part",
-    "dedup_exact_hash",
-    "set_union",
+    "corpus_mix_weights",
     "tpch_q1_pricing",
-    "url_canonicalize",
-    "frontier_seen_antijoin",
-    "frontier_priority_order",
-    "filter_content_quality",
-    "scalar_hash_ids",
-    "enrich_doc_profile",
-    "enrich_sentiment",
-    "enrich_categorize",
-    "enrich_quality_rubric",
-    "enrich_confidence",
-    "text_fingerprint",
-    "json_extract_props",
-    "window_moving_avg",
-    "agg_cube",
-    "set_intersect_except",
-    "join_range_bucket",
-    "dedup_ngram_jaccard",
 ]
 
 
