@@ -191,3 +191,53 @@ def streaming_search_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_search_upsert(
+    spark: SparkSession,
+    docs_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "doc_id long, title string, content string, key_phrases string, "
+        "authors string, domain string"
+    ),
+    compact_every: int = 16,
+) -> StreamingQuery:
+    """Continuous UPSERT maintenance of the inverted index: every
+    micro-batch routes through :meth:`SearchIndex.reindex`, so a
+    re-crawled, CHANGED page replaces its postings in place — the
+    streaming form of the reference's replace-by-article-id stores
+    (PG ``ON CONFLICT DO UPDATE`` omni_storage.py:137-205, ES doc_id
+    :275-296). A batch of brand-new docs degenerates to
+    ``index_batch`` semantics (the tombstone each doc gets only kills
+    generations older than its own postings, of which a new doc has
+    none), so one code path serves both arrivals and re-crawls.
+
+    Exactly-once: the checkpoint pins files to batch_ids and both
+    reindex legs (postings + tombstones) commit under op_ids derived
+    from ``stream-{batch_id}`` — a replayed micro-batch no-ops leg by
+    leg, and a crash between the legs converges on replay.
+    """
+    from omni_crawler_spark.search_index import SearchIndex
+
+    index = SearchIndex(index_root)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        index.reindex(
+            batch_df.sparkSession, batch_df, op_id=f"stream-{batch_id}"
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            index.compact(
+                batch_df.sparkSession, op_id=f"compact-{batch_id}"
+            )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(docs_dir)
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

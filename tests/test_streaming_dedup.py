@@ -156,3 +156,59 @@ def test_streaming_search_index_matches_oneshot_and_resumes(spark, tmp_path):
     ) == sorted(
         (r.doc_id, r.score) for r in SE.multi_match(docs, "market").collect()
     )
+
+
+def test_streaming_search_upsert_replaces_changed_docs(spark, tmp_path):
+    """The streaming UPSERT path: a later micro-batch carrying a
+    CHANGED version of an already-indexed doc replaces its postings
+    (stale tokens stop matching); a restart over the same checkpoint
+    is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from omni_crawler_spark.search_index import SearchIndex
+    from omni_crawler_spark.streaming.stream_demo import (
+        streaming_search_upsert,
+    )
+
+    cols = ["doc_id", "title", "content", "key_phrases", "authors", "domain"]
+    v1 = [
+        (1, "Market report", "the market is up", "market watch",
+         "Ann Lee", "news.com"),
+        (2, "Daily notes", "nothing relevant here", "misc",
+         "Bo Chan", "blog.net"),
+    ]
+    # doc 1 re-crawled with entirely new text
+    v2 = [
+        (1, "Garden report", "tulip prices fell", "garden watch",
+         "Ann Lee", "news.com"),
+    ]
+    docs_dir = tmp_path / "in"
+    docs_dir.mkdir()
+    for i, batch in enumerate((v1, v2)):
+        pq.write_table(
+            pa.table({c: [r[j] for r in batch] for j, c in enumerate(cols)}),
+            str(docs_dir / f"part-{i}.parquet"),
+        )
+    kw = dict(
+        docs_dir=str(docs_dir),
+        index_root=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    streaming_search_upsert(spark, **kw).awaitTermination()
+    ix = SearchIndex(str(tmp_path / "index"))
+
+    def hits(q):
+        return {
+            r.doc_id for r in ix.query(spark, q, fuzziness=None).collect()
+        }
+
+    assert hits("market") == set()      # stale tokens dead
+    assert hits("tulip") == {1}         # new tokens live
+    assert hits("relevant") == {2}      # untouched doc intact
+    # restart: no new snapshots on either leg, same answers
+    v_post, v_tomb = ix.table.current_version(), ix.tomb.current_version()
+    streaming_search_upsert(spark, **kw).awaitTermination()
+    assert ix.table.current_version() == v_post
+    assert ix.tomb.current_version() == v_tomb
+    assert hits("market") == set() and hits("tulip") == {1}
