@@ -908,7 +908,14 @@ def _gram_ctes(k: int) -> str:
 def filter_gopher_quality(spark, sf_dir):
     from omni_crawler_spark.operators.quality import gopher_signals_udf
 
-    d = _t(spark, sf_dir, "documents")
+    # the sandbox corpus is ONE parquet row-group → Spark plans a
+    # single input partition and the kernel runs on one core; spread
+    # the rows first (one cheap shuffle of the scan). At 100 TB the
+    # scan has orders of magnitude more splits than cores and this
+    # repartition is a no-op to drop.
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = d.select(
         "doc_id", gopher_signals_udf()(F.col("text")).alias("g")
     ).select(
@@ -943,7 +950,9 @@ def filter_gopher_quality(spark, sf_dir):
         & (F.col("top_4gram_frac") <= 0.16),
         F.lit("keep"),
     ).otherwise(F.lit("drop"))
-    return sig.withColumn("verdict", verdict).orderBy("doc_id")
+    # ordered_small, not orderBy: the range exchange's sampling job
+    # would run the whole Arrow kernel a SECOND time (round-2 lesson)
+    return ordered_small(sig.withColumn("verdict", verdict), "doc_id")
 
 
 @register(

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
@@ -79,7 +80,11 @@ _COLS = [
 
 
 def _gram_stats(ws, k: int, tc: int) -> tuple[float, float]:
-    """(top_k_raw, dup_k_raw) per the module contract."""
+    """(top_k_raw, dup_k_raw) per the module contract — the readable
+    reference implementation (Counter over word tuples); the kernel
+    uses the numpy-encoded :func:`_gram_stats_ids` twin (identical
+    integer math, ~5-10x faster per Arrow batch), equality pinned by
+    tests/test_corpus.py."""
     n = len(ws)
     if n < k or tc == 0:
         return 0.0, 0.0
@@ -93,6 +98,32 @@ def _gram_stats(ws, k: int, tc: int) -> tuple[float, float]:
             top_chars = chars
         if c >= 2:
             dup_chars += c * chars
+    return mc * top_chars / tc, dup_chars / tc
+
+
+def _gram_stats_ids(ids, csum, k: int, tc: int) -> tuple[float, float]:
+    """Vectorized twin of :func:`_gram_stats`: ``ids`` is the doc's
+    word sequence as vocabulary indices (injective per doc, so a
+    base-V positional encoding of a k-gram is injective to the word
+    tuple), ``csum`` the word-length prefix sums. One np.unique per k
+    replaces the per-gram Python Counter loop."""
+    import numpy as np
+
+    n = len(ids)
+    if n < k or tc == 0:
+        return 0.0, 0.0
+    v = int(ids.max()) + 1 if n else 1
+    keys = ids[: n - k + 1].astype(np.int64)
+    for j in range(1, k):
+        keys = keys * v + ids[j : n - k + 1 + j]
+    _, first_idx, counts = np.unique(
+        keys, return_index=True, return_counts=True
+    )
+    gchars = csum[first_idx + k] - csum[first_idx]
+    mc = int(counts.max())
+    top_chars = int(gchars[counts == mc].max())
+    dup = counts >= 2
+    dup_chars = int((counts[dup] * gchars[dup]).sum())
     return mc * top_chars / tc, dup_chars / tc
 
 
@@ -133,9 +164,28 @@ def gopher_signals_udf():
                     n_ellip += 1
             wset = set(ws)
             stop_hits = sum(1 for s in stops if s in wset)
-            top2, _ = _gram_stats(ws, 2, tc)
-            top3, dup3 = _gram_stats(ws, 3, tc)
-            top4, dup4 = _gram_stats(ws, 4, tc)
+            # vocabulary-encode once (dict lookup beats a string-dtype
+            # np.unique by ~10x on short docs); base-V positional gram
+            # keys are injective while V^4 fits int64 (any real
+            # document); the Counter twin covers the pathological
+            # fallback
+            vocab: dict[str, int] = {}
+            ids = np.fromiter(
+                (vocab.setdefault(w, len(vocab)) for w in ws),
+                dtype=np.int64,
+                count=n,
+            )
+            v = len(vocab)
+            if v**4 < 2**62:
+                wl = np.fromiter(map(len, ws), dtype=np.int64, count=n)
+                csum = np.concatenate(([0], np.cumsum(wl)))
+                top2, _d2 = _gram_stats_ids(ids, csum, 2, tc)
+                top3, dup3 = _gram_stats_ids(ids, csum, 3, tc)
+                top4, dup4 = _gram_stats_ids(ids, csum, 4, tc)
+            else:
+                top2, _d2 = _gram_stats(ws, 2, tc)
+                top3, dup3 = _gram_stats(ws, 3, tc)
+                top4, dup4 = _gram_stats(ws, 4, tc)
             out["n_words"].append(n)
             out["mean_raw"].append(tc / n)
             out["alpha_raw"].append(alpha / n)

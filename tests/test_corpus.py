@@ -267,3 +267,31 @@ def test_mix_weights_recover_target_mixture(spark):
     scarcest = min(rows, key=lambda r: r.n_tokens)
     richest = max(rows, key=lambda r: r.n_tokens)
     assert scarcest.sample_weight >= richest.sample_weight
+
+
+def test_gram_stats_numpy_twin_equals_counter():
+    """The vectorized base-V gram encoder must compute bit-identical
+    (top, dup) fractions to the readable Counter reference across
+    random small-vocab word lists (the collision-heavy worst case)."""
+    import random
+
+    import numpy as np
+
+    from omni_crawler_spark.operators.quality import (
+        _gram_stats,
+        _gram_stats_ids,
+    )
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ffff", "g", ""]
+    for trial in range(200):
+        n = rng.randint(1, 40)
+        ws = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        tc = sum(map(len, ws))
+        _, ids = np.unique(np.asarray(ws), return_inverse=True)
+        wl = np.fromiter(map(len, ws), dtype=np.int64, count=n)
+        csum = np.concatenate(([0], np.cumsum(wl)))
+        for k in (2, 3, 4):
+            ref = _gram_stats(ws, k, tc)
+            got = _gram_stats_ids(ids, csum, k, tc)
+            assert got == ref, (trial, k, ws)
