@@ -218,13 +218,22 @@ def pipeline_multimodal_counts(spark, sf_dir):
         F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"),
     )
     meta = meta0.unionByName(copies)
+    # sig_bits=60: the md5-derived signature leaves bits 60-63 zero;
+    # banding dead bits would degenerate the top band to <=16 values
+    # whose buckets blow past the cap as the corpus grows, silently
+    # voiding the pigeonhole recall the oracle's all-pairs ground
+    # truth checks. Eagerly materialize the pair list (it is
+    # collision-bounded small) — three of the four stage counts hang
+    # off it, and without the checkpoint each count job re-runs the
+    # banded self-join from scratch.
     pairs = D.hamming_near_dups(
         meta.select("image_id", F.col("phash").alias("sig")),
         "image_id",
         max_hamming=8,
-    )
+        sig_bits=60,
+    ).localCheckpoint()
     drops = pairs.select(F.col("id_b").alias("image_id")).distinct()
-    deduped = meta.join(drops, "image_id", "left_anti")
+    deduped = meta.join(F.broadcast(drops), "image_id", "left_anti")
     valid = deduped.filter(
         F.col("w").between(32, 8192)
         & F.col("h").between(32, 8192)

@@ -596,9 +596,15 @@ class SnapshotTable:
         ``expire_snapshots``: bounds driver-side snapshot listing and
         disk growth over a long crawl (the 10^4-commit horizon the
         op-map docstring flags). Time travel remains valid within the
-        retention window; the op_versions idempotency map lives in
-        the NEWEST manifest, so replay protection is unaffected.
-        Returns {'expired_manifests': n, 'deleted_dirs': n}."""
+        retention window. Replay protection is BOUNDED BY THE SAME
+        WINDOW: the next commit prunes op_ids whose version predates
+        the oldest surviving manifest (that is what stops the op map
+        growing O(total commits)), so an op expired out of the window
+        — e.g. a round-one bootstrap — would re-run if replayed.
+        Size ``keep_last`` past the crash-replay horizon (CrawlEngine
+        defaults to 2x the compaction period, min 16), and treat
+        one-shot backfills as replayable only within it. Returns
+        {'expired_manifests': n, 'deleted_dirs': n}."""
         import shutil
 
         files = self._snapshot_files()

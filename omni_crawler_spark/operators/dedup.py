@@ -440,6 +440,7 @@ def hamming_near_dups(
     max_hamming: int = 3,
     n_bands: int | None = None,
     max_bucket_size: int | None = 1000,
+    sig_bits: int = 64,
 ) -> DataFrame:
     """All pairs with hamming(sig_a, sig_b) <= max_hamming over a
     64-bit ``sig`` column — the shared blocking core of SimHash text
@@ -465,19 +466,29 @@ def hamming_near_dups(
     unconditional-recall (and unbounded-blowup) behavior; production
     web dedup keeps the cap and routes boilerplate to exact-hash
     dedup instead.
+
+    ``sig_bits`` narrows the banded span when the signature column
+    only populates the LOW bits (e.g. a 60-bit md5-derived value):
+    banding dead high bits degenerates the top band to a handful of
+    distinct values whose buckets blow past the cap as the corpus
+    grows — recall silently dies exactly when the data gets big.
+    Bands over ``sig_bits`` keep every band's value space full-width.
     """
     if n_bands is None:
         n_bands = max_hamming + 1
-    if not 1 <= n_bands <= 64:
-        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    if not 1 <= n_bands <= sig_bits <= 64:
+        raise ValueError(
+            f"need 1 <= n_bands <= sig_bits <= 64, got "
+            f"n_bands={n_bands}, sig_bits={sig_bits}"
+        )
     if n_bands < max_hamming + 1:
         raise ValueError(
             f"n_bands={n_bands} cannot guarantee recall at "
             f"max_hamming={max_hamming}: pigeonhole needs >= "
             f"{max_hamming + 1} bands"
         )
-    # variable-width contiguous bands covering all 64 bits
-    bounds = [(b * 64) // n_bands for b in range(n_bands + 1)]
+    # variable-width contiguous bands covering all sig_bits bits
+    bounds = [(b * sig_bits) // n_bands for b in range(n_bands + 1)]
     band_structs = []
     for b in range(n_bands):
         lo, width = bounds[b], bounds[b + 1] - bounds[b]

@@ -24,11 +24,14 @@ with work proportional to the BATCH:
   re-crawl changes or removes the page (the reference's every store
   is replace-by-article-id: PG ``ON CONFLICT DO UPDATE``
   omni_storage.py:137-205, SQLite ``INSERT OR REPLACE`` :410-464) —
-  deletion-vector tombstones identical to SearchIndex's
-  (search_index.py): index rows carry a generation, a tiny broadcast
-  tombstone table records each re-indexed doc's live floor, probes
+  the SHARED deletion-vector machinery
+  (lakehouse/deletion_vectors.py, one implementation for this index
+  and SearchIndex): index rows carry a generation, a tiny broadcast
+  tombstone table records each re-indexed doc's live floor
+  (latest-wins, so delete-then-reindex resurrects), probes
   anti-filter stale signatures, and ``compact`` folds the vectors
-  away. O(batch) per re-crawl, never a corpus-sized rewrite.
+  away. O(batch) per re-crawl, never a corpus-sized rewrite;
+  crash-replay converges (floors recovered from the committed leg).
 
 Reference parity: the reference dedups only by exact content hash at
 insert time (src/storage/omni_storage.py INSERT ... ON CONFLICT);
@@ -41,14 +44,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from omni_crawler_spark.lakehouse.deletion_vectors import DeletionVectors
 from omni_crawler_spark.lakehouse.table import SnapshotTable
 from omni_crawler_spark.operators.dedup import (
     lsh_band_keys,
     minhash_signature_udf,
 )
-
-# tombstone floor for a plain delete: no live generation remains
-_DELETED = 2**31 - 1
 
 
 class MinHashIndex:
@@ -72,11 +73,7 @@ class MinHashIndex:
     ):
         assert num_perm % bands == 0
         self.table = SnapshotTable(root, name="minhash_index")
-        import os as _os
-
-        self.tomb = SnapshotTable(
-            _os.path.join(root, "tombstones"), name="minhash_index_tomb"
-        )
+        self.dv = DeletionVectors(self.table, root, "doc_id")
         # signature-parameter marker: an index holds signatures under
         # ONE (num_perm, shingle_k, bands) config; opening an existing
         # root with different params would silently mix incomparable
@@ -133,31 +130,16 @@ class MinHashIndex:
         )
         return agree / F.size(sig_a)
 
-    def _next_gen(self) -> int:
-        return self.table.current_version() + 1
+    @property
+    def tomb(self) -> SnapshotTable:
+        return self.dv.tomb
 
     def _live(self, spark: SparkSession, keep_gen: bool = False) -> DataFrame:
-        """Index rows minus deletion-vector casualties: the tombstone
+        """Index rows minus deletion-vector casualties (shared
+        machinery, lakehouse/deletion_vectors.py): the tombstone
         floors are broadcast (O(#reindexed-since-compaction), tiny);
         the index side streams with no shuffle."""
-        df = self.table.read(spark)
-        if "gen" not in df.columns:  # pre-deletion-vector root
-            df = df.withColumn("gen", F.lit(0))
-        gen = F.coalesce(F.col("gen"), F.lit(0))
-        if self.tomb.is_empty():
-            out = df
-        else:
-            floors = (
-                self.tomb.read(spark)
-                .groupBy("doc_id")
-                .agg(F.max("min_gen").alias("_floor"))
-            )
-            out = (
-                df.join(F.broadcast(floors), "doc_id", "left")
-                .filter(F.col("_floor").isNull() | (gen >= F.col("_floor")))
-                .drop("_floor")
-            )
-        return out if keep_gen else out.drop("gen")
+        return self.dv.live(spark, keep_gen=keep_gen)
 
     def _cross_probe(
         self, spark: SparkSession, b_probe: DataFrame
@@ -207,20 +189,10 @@ class MinHashIndex:
         appended to every cycle accumulates O(cycles) directories that
         every probe must list and open, the same read-amplification
         bound as the frontier log's periodic compaction
-        (frontier/crawl.py). Idempotent under ``op_id``; a crash
-        between the two commits is safe (re-applying tombstones to
-        resolved rows is a no-op)."""
-        if self.tomb.is_empty():
-            return self.table.rewrite(spark, op_id=op_id)
-        live = self._live(spark, keep_gen=True)
-        v = self.table.overwrite(
-            live, op_id=None if op_id is None else f"{op_id}-post"
-        )
-        self.tomb.overwrite(
-            self.tomb.read(spark).limit(0),
-            op_id=None if op_id is None else f"{op_id}-tomb",
-        )
-        return v
+        (frontier/crawl.py). Replaying a completed compaction no-ops;
+        a crash between the two commits is safe (re-applying
+        tombstones to resolved rows is a no-op)."""
+        return self.dv.compact(spark, op_id=op_id)
 
     def bootstrap(
         self,
@@ -231,12 +203,7 @@ class MinHashIndex:
         op_id: str | None = None,
     ) -> None:
         """Index an existing corpus (one-time backfill)."""
-        self.table.append(
-            self.banded(corpus, id_col, text_col).withColumn(
-                "gen", F.lit(self._next_gen())
-            ),
-            op_id=op_id,
-        )
+        self.dv.append(self.banded(corpus, id_col, text_col), op_id=op_id)
 
     def reindex(
         self,
@@ -250,35 +217,24 @@ class MinHashIndex:
         changed pages): one O(batch) signature pass appended at a
         fresh generation + one tombstone row per doc marking older
         generations dead — subsequent probes use ONLY the new
-        signature. Crash between the two commits leaves both
-        signatures live until replay (transient extra candidates,
-        never a lost doc); replay under ``op_id`` converges."""
-        gen = self._next_gen()
-        self.table.append(
-            self.banded(docs, id_col, text_col).withColumn(
-                "gen", F.lit(gen)
-            ),
-            op_id=None if op_id is None else f"{op_id}-post",
-        )
-        self.tomb.append(
-            docs.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
-                "min_gen", F.lit(gen)
-            ),
-            op_id=None if op_id is None else f"{op_id}-tomb",
+        signature. Crash anywhere replays to the same state (the
+        tombstone floor is recovered from the committed signature
+        leg, lakehouse/deletion_vectors.py)."""
+        self.dv.reindex(
+            spark,
+            self.banded(docs, id_col, text_col),
+            docs.select(F.col(id_col).alias("doc_id")),
+            op_id=op_id,
         )
 
     def delete(
         self, spark: SparkSession, ids: DataFrame, op_id: str | None = None
     ) -> None:
         """Drop docs from the index (pages gone on re-crawl): one
-        tombstone row per id; signatures are reclaimed at
-        ``compact``. ``ids`` must carry a ``doc_id`` column."""
-        self.tomb.append(
-            ids.select("doc_id").distinct().withColumn(
-                "min_gen", F.lit(_DELETED)
-            ),
-            op_id=op_id,
-        )
+        tombstone row per id; signatures are reclaimed at ``compact``
+        and a later :meth:`reindex` resurrects the doc. ``ids`` must
+        carry a ``doc_id`` column."""
+        self.dv.delete(ids.select("doc_id"), op_id=op_id)
 
     def dedup_batch(
         self,
@@ -384,9 +340,6 @@ class MinHashIndex:
             "doc_id",
             "left_anti",
         )
-        self.table.append(
-            kept_banded.withColumn("gen", F.lit(self._next_gen())),
-            op_id=op_id,
-        )
+        self.dv.append(kept_banded, op_id=op_id)
         b.unpersist()
         return kept, dropped

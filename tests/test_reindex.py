@@ -252,3 +252,115 @@ def test_crawl_engine_recrawl_roundtrip(spark, tmp_path):
     )
     assert eng.seen.current_version() == v_seen
     assert eng.frontier.current_version() == v_frontier
+
+
+def test_search_index_reindex_crash_between_legs_replays_safely(
+    docs, tmp_path
+):
+    """Crash after the postings leg but before the tombstone leg: by
+    replay time the table has moved to a later version, so a floor
+    recomputed from next_gen() would exceed the committed postings'
+    generation and kill the doc's own NEW rows. The floor must be
+    recovered from the committed leg instead."""
+    spark = docs.sparkSession
+    ix = SearchIndex(str(tmp_path / "ix"), fields={"title": 30, "content": 20})
+    ix.bootstrap(spark, docs, op_id="boot")
+    changed = spark.createDataFrame(
+        [(1, "Garden report", "tulip prices fell")],
+        "doc_id long, title string, content string",
+    )
+    # simulate the crash: run ONLY the postings leg (same op id and
+    # gen the real reindex would use), no tombstone
+    ix.dv.table.append(
+        ix._postings_for(changed).withColumn(
+            "gen", F.lit(ix.dv.next_gen())
+        ),
+        op_id="re-1-post",
+    )
+    # the table moves on before the replay (another batch lands)
+    more = spark.createDataFrame(
+        [(9, "Other page", "totally unrelated words")],
+        "doc_id long, title string, content string",
+    )
+    ix.index_batch(spark, more, op_id="b9")
+    # replay the full reindex — postings leg no-ops, tombstone leg
+    # must adopt the COMMITTED generation
+    ix.reindex(spark, changed, op_id="re-1")
+    assert _hits(ix, spark, "tulip") == {1, 3}   # new tokens live
+    assert _hits(ix, spark, "market") == set()   # stale tokens dead
+    assert _hits(ix, spark, "unrelated") == {9}
+    ix.compact(spark, op_id="cmp")
+    assert _hits(ix, spark, "tulip") == {1, 3}   # survives compaction
+
+
+def test_search_index_delete_then_reindex_resurrects(docs, tmp_path):
+    """A page that 404s (delete) and later reappears (reindex) must
+    come back: tombstone resolution is latest-wins by commit order,
+    not max(min_gen) — a max would let the delete's 2^31-1 floor
+    outrank every future generation forever."""
+    spark = docs.sparkSession
+    ix = SearchIndex(str(tmp_path / "ix"), fields={"title": 30, "content": 20})
+    ix.bootstrap(spark, docs, op_id="boot")
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    ix.delete(spark, ids, op_id="del-1")
+    assert _hits(ix, spark, "market") == set()
+    back = spark.createDataFrame(
+        [(1, "Market revival", "the market returned")],
+        "doc_id long, title string, content string",
+    )
+    ix.reindex(spark, back, op_id="re-back")
+    assert _hits(ix, spark, "market") == {1}
+    assert _hits(ix, spark, "revival") == {1}
+    ix.compact(spark, op_id="cmp")
+    assert _hits(ix, spark, "market") == {1}
+    # and the reverse order: reindex then delete stays deleted
+    ix.delete(spark, ids, op_id="del-2")
+    assert _hits(ix, spark, "market") == set()
+
+
+def test_compact_replay_noops_and_empty_tomb_fast_path(docs, tmp_path):
+    """Replaying a completed compaction must not rewrite anything
+    (both legs no-op on their committed op_ids), and a compaction on
+    a cleared-but-nonzero-version tombstone table must take the fast
+    path (footer-row emptiness, not manifest emptiness)."""
+    spark = docs.sparkSession
+    ix = SearchIndex(str(tmp_path / "ix"), fields={"title": 30, "content": 20})
+    ix.bootstrap(spark, docs, op_id="boot")
+    changed = spark.createDataFrame(
+        [(1, "Garden report", "tulip prices fell")],
+        "doc_id long, title string, content string",
+    )
+    ix.reindex(spark, changed, op_id="re-1")
+    ix.compact(spark, op_id="cmp-1")
+    v_post, v_tomb = ix.table.current_version(), ix.tomb.current_version()
+    ix.compact(spark, op_id="cmp-1")  # replay: no-op on both legs
+    assert ix.table.current_version() == v_post
+    assert ix.tomb.current_version() == v_tomb
+    # fresh compaction after the clear: tombstone table has rows==0
+    # (though version>0) → single rewrite leg, no floors join
+    assert ix.dv._tomb_rows() == 0
+    ix.compact(spark, op_id="cmp-2")
+    assert ix.tomb.current_version() == v_tomb  # tomb untouched
+    assert _hits(ix, spark, "tulip") == {1, 3}
+
+
+def test_minhash_delete_then_reindex_resurrects(spark, tmp_path):
+    ix = MinHashIndex(str(tmp_path / "mh"), shingle_k=5, threshold=0.85)
+    ix.bootstrap(
+        spark, _mh_docs(spark, [(1, _T1), (2, _T2)]),
+        "doc_id", "text", op_id="boot",
+    )
+    ix.delete(spark, spark.createDataFrame([(1,)], "doc_id long"),
+              op_id="del-1")
+    kept, dropped = ix.dedup_batch(
+        spark, _mh_docs(spark, [(100, _T1 + " x")]),
+        "doc_id", "text", op_id="b1",
+    )
+    assert 100 not in {r.new_id for r in dropped.collect()}  # 1 gone
+    ix.reindex(spark, _mh_docs(spark, [(1, _T1)]), "doc_id", "text",
+               op_id="re-back")
+    kept2, dropped2 = ix.dedup_batch(
+        spark, _mh_docs(spark, [(101, _T1 + " y")]),
+        "doc_id", "text", op_id="b2",
+    )
+    assert {r.new_id: r.dup_of for r in dropped2.collect()} == {101: 1}
