@@ -88,8 +88,26 @@ class CrawlEngine:
         # ES replacement, SURVEY §3.3): posting rows appended per
         # cycle from that cycle's valid fetches — O(delta) index
         # maintenance, probed by search() via the vocabulary-bounded
-        # fuzzy expansion of omni_crawler_spark/search.py.
-        self.index = SnapshotTable(os.path.join(warehouse, "index"), "index")
+        # fuzzy expansion of omni_crawler_spark/search.py. Re-crawled
+        # pages replace their postings through the shared
+        # deletion-vector machinery (lakehouse/deletion_vectors.py):
+        # probes anti-filter stale postings with one BROADCAST join
+        # of the tombstone floors instead of the corpus-sized
+        # newest-cycle groupBy the pre-round-5 probe paid.
+        from omni_crawler_spark.lakehouse.deletion_vectors import (
+            DeletionVectors,
+        )
+
+        index_root = os.path.join(warehouse, "index")
+        self.index = SnapshotTable(index_root, "index")
+        self.index_dv = DeletionVectors(self.index, index_root, "url_hash")
+        # which upcoming fetches are RE-crawls (their postings must be
+        # replaced, not appended): recrawl() records the exact hashes,
+        # reset_seen() records an 'all' marker. Empty on a pure
+        # forward crawl — the hot path pays nothing.
+        self.reindex_marker = SnapshotTable(
+            os.path.join(warehouse, "reindex_marker"), "reindex_marker"
+        )
 
     # ------------------------------------------------------------------ setup
 
@@ -367,36 +385,38 @@ class CrawlEngine:
 
         def commit_index() -> None:
             # O(delta) inverted-index maintenance: postings for THIS
-            # cycle's valid articles only (url_hash is the doc key;
-            # re-crawled pages are resolved at probe time by keeping
-            # the newest cycle's postings per doc — see search()).
+            # cycle's valid articles only (url_hash is the doc key).
+            # A pure forward crawl appends at a fresh generation and
+            # pays nothing extra (the seen-filter guarantees the ids
+            # are new). When the reindex marker says some of this
+            # cycle's fetches are RE-crawls, those docs' stale
+            # postings are tombstoned via the shared deletion-vector
+            # path (floor recovered from the committed leg; replay
+            # converges) — probes then anti-filter them with one
+            # broadcast join instead of a corpus-sized groupBy.
             if not self.maintain_index:
                 return
             from omni_crawler_spark.search import build_inverted_index
 
+            valid_now = fetched_now.filter(F.col("valid"))
             postings = build_inverted_index(
-                fetched_now.filter(F.col("valid")),
+                valid_now,
                 fields={"title": 30, "content": 20, "caption": 15},
                 id_col="url_hash",
-            ).withColumn("cycle_id", F.lit(cycle_id))
-            if (
-                cycle_id % self.frontier_compact_every == 0
-                and not self.index.is_empty()
-            ):
-                # compaction cadence: fold the resolved live postings
-                # (newest cycle per doc) + this cycle's into one
-                # snapshot — drops stale re-crawl postings and bounds
-                # the probe-time read, mirroring the frontier log
-                prev = self.index.read(spark)
-                newest = prev.groupBy("url_hash").agg(
-                    F.max("cycle_id").alias("cycle_id")
-                )
-                live_prev = prev.join(newest, ["url_hash", "cycle_id"])
-                self.index.overwrite(
-                    live_prev.unionByName(postings), op_id=f"{op}-index"
-                )
+            )
+            re_ids = self._pending_reindex_ids(spark, valid_now)
+            if re_ids is None:
+                self.index_dv.append(postings, op_id=f"{op}-index")
             else:
-                self.index.append(postings, op_id=f"{op}-index")
+                self.index_dv.reindex(
+                    spark, postings, re_ids, op_id=f"{op}-index"
+                )
+                self._consume_reindex_marker(spark, valid_now, op)
+            if cycle_id % self.frontier_compact_every == 0:
+                # compaction cadence: fold append-per-cycle dirs and
+                # apply the deletion vectors physically, bounding the
+                # probe-time read like the frontier log's compaction
+                self.index_dv.compact(spark, op_id=f"{op}-index-fold")
 
         def commit_articles() -> None:
             if not self.maintain_articles:
@@ -523,13 +543,25 @@ class CrawlEngine:
             self._read_seen(spark).join(hashes, "url_hash", "left_anti"),
             op_id=f"{op_id}-seen",
         )
+        # mark the hashes for postings replacement: the cycle that
+        # refetches them routes their index commit through the
+        # deletion-vector reindex path (O(batch))
+        self.reindex_marker.append(
+            hashes.withColumn("scope", F.lit("hash")),
+            op_id=f"{op_id}-marker",
+        )
 
     def reset_seen(self, spark: SparkSession, op_id: str) -> None:
         """Operational re-crawl: clear the seen set (and its bloom) so
         the next cycle refetches everything still in the frontier —
         the analog of the reference's Redis cache expiry. The fetched
         log keeps every attempt; the keyed ``articles`` store then
-        shows last-writer-wins update-in-place on the re-crawl."""
+        shows last-writer-wins update-in-place on the re-crawl, and
+        the STICKY 'all' reindex marker makes every subsequent cycle
+        route already-indexed fetches through the deletion-vector
+        replace path (the per-cycle cost is one streamed scan of the
+        index's id column against the broadcast batch — the price of
+        blanket re-crawl mode; targeted recrawl() stays O(batch))."""
         self.seen.overwrite(
             spark.createDataFrame([], "url_hash long, url_canonical string"),
             op_id=f"{op_id}-seen",
@@ -542,6 +574,56 @@ class CrawlEngine:
             ),
             op_id=f"{op_id}-bloom",
         )
+        self.reindex_marker.append(
+            spark.createDataFrame(
+                [(None, "all")], "url_hash long, scope string"
+            ),
+            op_id=f"{op_id}-marker",
+        )
+
+    # ------------------------------------------------------- reindex marker
+
+    def _pending_reindex_ids(self, spark: SparkSession, valid_now: DataFrame):
+        """The ids among this cycle's valid fetches whose postings
+        must be REPLACED (per the reindex marker), or None when the
+        marker is empty — the pure-forward-crawl fast path, which
+        costs nothing (footer-metadata emptiness check only)."""
+        if self.reindex_marker.footer_row_count() == 0:
+            return None
+        m = self.reindex_marker.read(spark)
+        batch_ids = valid_now.select("url_hash").distinct()
+        if m.filter(F.col("scope") == "all").limit(1).count() > 0:
+            # blanket re-crawl mode: any already-indexed fetched doc
+            # is a re-crawl — intersect the index's id column
+            # (streamed) with the broadcast batch
+            if self.index.is_empty():
+                return None
+            indexed = self.index.read(spark).select("url_hash")
+            return indexed.join(
+                F.broadcast(batch_ids), "url_hash", "left_semi"
+            ).distinct()
+        return (
+            m.filter(F.col("scope") == "hash")
+            .select("url_hash")
+            .join(F.broadcast(batch_ids), "url_hash", "left_semi")
+            .distinct()
+        )
+
+    def _consume_reindex_marker(
+        self, spark: SparkSession, valid_now: DataFrame, op: str
+    ) -> None:
+        """Drop hash-scoped marker rows consumed by this cycle's
+        fetches ('all' rows are sticky — see reset_seen). Idempotent
+        under the cycle op_id."""
+        m = self.reindex_marker.read(spark)
+        remaining = m.filter(F.col("scope") == "all").unionByName(
+            m.filter(F.col("scope") == "hash").join(
+                F.broadcast(valid_now.select("url_hash").distinct()),
+                "url_hash",
+                "left_anti",
+            )
+        )
+        self.reindex_marker.overwrite(remaining, op_id=f"{op}-marker")
 
     # ------------------------------------------------------------------ reads
 
@@ -564,17 +646,16 @@ class CrawlEngine:
         incrementally-maintained inverted index — the engine's ES
         replacement (the reference's AdvancedSearchEngine queries the
         ES index its storage layer maintains; here run_cycle appends
-        each cycle's postings and this probes them). Re-crawled docs
-        resolve to their NEWEST cycle's postings, so stale tokens
-        from an earlier fetch of the same URL never match. Requires
-        ``maintain_index=True``."""
+        each cycle's postings and this probes them). Re-crawled docs'
+        stale postings are anti-filtered by the deletion vectors —
+        ONE broadcast join of the tombstone floors, replacing the
+        corpus-sized newest-cycle groupBy the pre-round-5 probe paid
+        per query. Requires ``maintain_index=True``."""
         from omni_crawler_spark import search as SE
 
-        idx = self.index.read(spark)
-        newest = idx.groupBy("url_hash").agg(
-            F.max("cycle_id").alias("cycle_id")
+        live = self.index_dv.live(spark).select(
+            "url_hash", "fld", "boost10", "tok"
         )
-        live = idx.join(newest, ["url_hash", "cycle_id"]).drop("cycle_id")
         term_df = SE._parse_terms(spark, query, "AUTO")
         return SE.multi_match_indexed(
             live, term_df, id_col="url_hash", size=size

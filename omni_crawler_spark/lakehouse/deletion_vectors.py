@@ -83,20 +83,7 @@ class DeletionVectors:
         (driver-side, no Spark job). A cleared tombstone table has a
         nonzero version but zero rows — manifest emptiness is the
         wrong test."""
-        if self.tomb.is_empty():
-            return 0
-        import pyarrow.parquet as pq
-
-        m = self.tomb._read_manifest(self.tomb.current_version())
-        total = 0
-        for d in m["data_dirs"]:
-            for root, _, files in os.walk(d):
-                total += sum(
-                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-                    for f in files
-                    if f.endswith(".parquet")
-                )
-        return total
+        return self.tomb.footer_row_count()
 
     def _tombstone(
         self, ids: DataFrame, min_gen: int, op_id: str | None

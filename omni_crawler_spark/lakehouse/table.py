@@ -588,6 +588,26 @@ class SnapshotTable:
     def is_empty(self) -> bool:
         return self.current_version() == 0
 
+    def footer_row_count(self) -> int:
+        """Total LIVE rows of the current snapshot from parquet
+        footer metadata (driver-side pyarrow, no Spark job) — the
+        right emptiness test for tables that get overwritten with
+        zero rows (a cleared table keeps a nonzero version, so
+        ``is_empty`` alone cannot say 'nothing in here')."""
+        if self.is_empty():
+            return 0
+        import pyarrow.parquet as pq
+
+        total = 0
+        for d in self._read_manifest(self.current_version())["data_dirs"]:
+            for root, _, files in os.walk(d):
+                total += sum(
+                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return total
+
     # -- maintenance ---------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:

@@ -280,16 +280,16 @@ def test_frontier_commit_bytes_scale_with_delta(spark, tmp_path):
 
 def test_incremental_index_matches_batch_and_searches(spark, tmp_path):
     """run_cycle(maintain_index=True) appends each cycle's postings
-    (O(delta) index maintenance); the newest-cycle-per-doc resolve in
+    (O(delta) index maintenance); the deletion-vector live view in
     CrawlEngine.search must equal a batch index built over each
-    article's newest fetch — exercised through a re-crawl so stale
-    cycle-1 postings exist and must lose."""
+    article's newest fetch — exercised through a blanket re-crawl
+    (reset_seen) so stale cycle-1 postings exist and must lose."""
     from omni_crawler_spark import search as SE
 
     eng = CrawlEngine(
         str(tmp_path / "wh"), cycle_budget_ms=3000, maintain_index=True,
         frontier_compact_every=2,  # cycle 2 exercises EVERY compaction
-        # path: frontier overwrite, seen rewrite, index live-fold
+        # path: frontier overwrite, seen rewrite, index vector-fold
     )
     eng.bootstrap(generate_seeds(spark, 300), generate_hosts(spark))
     eng.run_cycle(spark, 1, collect_stats=False)
@@ -306,13 +306,14 @@ def test_incremental_index_matches_batch_and_searches(spark, tmp_path):
         fields={"title": 30, "content": 20, "caption": 15},
         id_col="url_hash",
     )
-    idx = eng.index.read(spark)
-    newest = idx.groupBy("url_hash").agg(F.max("cycle_id").alias("cycle_id"))
-    live = idx.join(newest, ["url_hash", "cycle_id"])
+    live = eng.index_dv.live(spark)
     cols = ["url_hash", "fld", "boost10", "tok"]
     assert {tuple(r) for r in live.select(*cols).collect()} == {
         tuple(r) for r in batch.select(*cols).collect()
     }
+    # cycle 2 hit the compaction cadence: vectors folded physically,
+    # so the RAW table equals the live view too
+    assert eng.index.read(spark).select(*cols).count() == live.count()
     # the index actually serves queries (exact + fuzzy probe)
     hits = eng.search(spark, "market").collect()
     assert hits and all(r.score > 0 for r in hits)

@@ -236,12 +236,34 @@ def test_crawl_engine_recrawl_roundtrip(spark, tmp_path):
         F.col("url_hash") == target.url_hash
     )
     assert art.count() == 1
-    # index: only the newest cycle's postings serve this doc
-    idx = eng.index.read(spark).filter(
-        F.col("url_hash") == target.url_hash
+    # index: the deletion-vector live view serves exactly the newest
+    # fetch's postings for this doc (stale cycle-1 rows tombstoned by
+    # the recrawl marker's reindex path)
+    from omni_crawler_spark import search as SE
+
+    newest_art = (
+        eng.fetched.read(spark)
+        .filter(F.col("valid") & (F.col("url_hash") == target.url_hash))
+        .filter(F.col("cycle_id") == 2)
     )
-    newest = idx.groupBy("url_hash").agg(F.max("cycle_id").alias("c"))
-    assert newest.collect()[0].c == 2
+    want = {
+        tuple(r)
+        for r in SE.build_inverted_index(
+            newest_art,
+            fields={"title": 30, "content": 20, "caption": 15},
+            id_col="url_hash",
+        )
+        .select("url_hash", "fld", "boost10", "tok")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in eng.index_dv.live(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .select("url_hash", "fld", "boost10", "tok")
+        .collect()
+    }
+    assert got == want
     # replay: recrawl + cycle with the same op ids are no-ops
     v_seen = eng.seen.current_version()
     v_frontier = eng.frontier.current_version()
