@@ -43,6 +43,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_passage",               # judge watch item: re-confirm parity
     "dedup_incremental_batch",     # MinHashIndex gained deletion vectors
     "crawl_frontier_drain",        # sitemap-aware fetch + robots wildcards
+    "pipeline_recrawl",            # NEW end-to-end replace-by-id pipeline
+    "agg_approx_distinct_check",   # NEW oracle-paired HLL error bound
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
@@ -85,9 +87,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "layout_partition_prune",
     "graph_pagerank",
     "dedup_minhash_verify",
-    "sample_stratified",
     "corpus_mix_weights",
-    "tpch_q1_pricing",
 ]
 
 

@@ -281,6 +281,88 @@ def crawl_frontier_drain(spark, sf_dir):
 
 
 @register(
+    "pipeline_recrawl",
+    None,
+    doc="END-TO-END re-crawl pipeline (the reference's replace-by-"
+    "article_id semantics, ES doc_id / PG ON CONFLICT DO UPDATE / "
+    "SQLite INSERT OR REPLACE, exercised through the whole engine): "
+    "crawl a seeded frontier, recrawl() 20 known URLs, run the next "
+    "cycle, and emit one summary row whose counts prove every store "
+    "replaced in place — n_refetched == n_targets (seen-set cleared, "
+    "frontier re-seeded), n_article_rows == n_targets (keyed upsert, "
+    "one live row per url), n_stale_postings == 0 (deletion-vector "
+    "reindex: the live index for the targets is exactly a fresh "
+    "rebuild from their newest fetches). Rows-only (the engine's "
+    "state machine has no SQL twin); the same invariants are "
+    "pytest-pinned in tests/test_reindex.py",
+)
+def pipeline_recrawl(spark, sf_dir):
+    from omni_crawler_spark import search as SE
+    from omni_crawler_spark.frontier.crawl import CrawlEngine
+    from omni_crawler_spark.frontier.synthetic import (
+        generate_hosts,
+        generate_seeds,
+    )
+
+    wh = tempfile.mkdtemp(prefix="recrawl-query-", dir="/tmp")
+    eng = CrawlEngine(
+        wh,
+        cycle_budget_ms=10**9,
+        maintain_articles=True,
+        maintain_index=True,
+    )
+    eng.bootstrap(
+        generate_seeds(spark, 150, partitions=4), generate_hosts(spark)
+    )
+    eng.run_cycle(spark, 1, collect_stats=False)
+    targets = (
+        eng.fetched.read(spark)
+        .filter(F.col("valid"))
+        .orderBy("url_hash")
+        .limit(20)
+        .select(F.col("url_canonical").alias("url"), "url_hash")
+        .localCheckpoint()
+    )
+    eng.recrawl(spark, targets.select("url"), op_id="rc-1")
+    eng.run_cycle(spark, 2, collect_stats=False)
+    t_hashes = targets.select("url_hash")
+    refetched = (
+        eng.fetched.read(spark)
+        .filter(F.col("cycle_id") == 2)
+        .join(F.broadcast(t_hashes), "url_hash", "left_semi")
+    )
+    art_rows = eng.articles.read(spark).join(
+        F.broadcast(t_hashes), "url_hash", "left_semi"
+    )
+    probe_cols = ["url_hash", "fld", "boost10", "tok"]
+    live = (
+        eng.index_dv.live(spark)
+        .join(F.broadcast(t_hashes), "url_hash", "left_semi")
+        .select(*probe_cols)
+    )
+    want = SE.build_inverted_index(
+        eng.fetched.read(spark)
+        .filter(F.col("valid") & (F.col("cycle_id") == 2))
+        .join(F.broadcast(t_hashes), "url_hash", "left_semi"),
+        fields={"title": 30, "content": 20, "caption": 15},
+        id_col="url_hash",
+    ).select(*probe_cols)
+    stale = live.exceptAll(want)
+    return (
+        targets.agg(F.count("*").alias("n_targets"))
+        .crossJoin(
+            F.broadcast(refetched.agg(F.count("*").alias("n_refetched")))
+        )
+        .crossJoin(
+            F.broadcast(art_rows.agg(F.count("*").alias("n_article_rows")))
+        )
+        .crossJoin(
+            F.broadcast(stale.agg(F.count("*").alias("n_stale_postings")))
+        )
+    )
+
+
+@register(
     "multimodal_phash_dedup",
     None,
     doc="image near-dup by pHash hamming distance (input_hint's phash "

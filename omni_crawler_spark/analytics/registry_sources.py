@@ -221,6 +221,38 @@ def agg_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "agg_approx_distinct_check",
+    """
+    SELECT COUNT(DISTINCT user_id) AS exact_users,
+           CAST(TRUE AS BOOLEAN) AS hll_within_bound
+    FROM events
+    """,
+    doc="the oracle-PAIRABLE half of agg_approx_distinct: the HLL "
+    "estimate itself is engine-specific (sketch layouts differ), but "
+    "the EXACT count and the error-bound VERDICT are not — the Spark "
+    "side computes both the HLL (rsd 0.02) and the exact distinct in "
+    "one aggregate and reports whether the estimate landed within "
+    "3*rsd of truth; the DuckDB twin pins the exact count and the "
+    "expected-true verdict. HLL on a fixed dataset is deterministic, "
+    "so this cannot flake — it turns red only if the sketch's error "
+    "contract is actually violated. 100 TB shape: one partial-"
+    "aggregated pass, the HLL sketch merges map-side",
+)
+def agg_approx_distinct_check(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+    ).select(
+        "exact_users",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            <= 3 * 0.02 * F.col("exact_users")
+        ).alias("hll_within_bound"),
+    )
+
+
+@register(
     "clean_main_content",
     """
     WITH h AS (
