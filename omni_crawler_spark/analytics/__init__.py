@@ -43,7 +43,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_passage",               # judge watch item: re-confirm parity
     "dedup_incremental_batch",     # MinHashIndex gained deletion vectors
     "crawl_frontier_drain",        # sitemap-aware fetch + robots wildcards
-    "pipeline_recrawl",            # NEW end-to-end replace-by-id pipeline
     "agg_approx_distinct_check",   # NEW oracle-paired HLL error bound
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
@@ -88,6 +87,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "graph_pagerank",
     "dedup_minhash_verify",
     "corpus_mix_weights",
+    # heavy rows-only evidence last: two full engine cycles (~30 s) —
+    # the cheap oracle re-checks above land first if the driver
+    # round's budget is tight
+    "pipeline_recrawl",
 ]
 
 

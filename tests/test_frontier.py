@@ -558,3 +558,28 @@ def test_sitemap_directives_feed_discovery(spark, tmp_path):
         .collect()
     }
     assert loc_urls & fetched_c2  # sitemap discoveries were crawled
+
+
+def test_bootstrap_sitemap_seeding_idempotent(spark, tmp_path):
+    """A replayed bootstrap (same op_ids) must not duplicate the
+    robots-sitemap frontier seeds."""
+    hosts_df = generate_hosts(spark).withColumn(
+        "robots_txt",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n\nSitemap: https://"),
+            F.col("host"),
+            F.lit("/sitemap.xml\n"),
+        ),
+    )
+    eng = CrawlEngine(str(tmp_path / "wh"), cycle_budget_ms=BUDGET_MS)
+    seeds = generate_seeds(spark, 40)
+    eng.bootstrap(seeds, hosts_df)
+    n1 = eng.frontier.read(spark).count()
+    v1 = eng.frontier.current_version()
+    eng.bootstrap(seeds, hosts_df)  # replay
+    assert eng.frontier.read(spark).count() == n1
+    assert eng.frontier.current_version() == v1
+    sm = eng.frontier.read(spark).filter(
+        F.col("source") == "sitemap-robots"
+    )
+    assert sm.count() == 50  # one seed per host, exactly once
