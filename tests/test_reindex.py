@@ -386,3 +386,65 @@ def test_minhash_delete_then_reindex_resurrects(spark, tmp_path):
         "doc_id", "text", op_id="b2",
     )
     assert {r.new_id: r.dup_of for r in dropped2.collect()} == {101: 1}
+
+
+def test_deletion_vectors_random_ops_match_model(spark, tmp_path):
+    """Model-based check of the shared deletion-vector machinery:
+    a seeded random sequence of index_batch / reindex / delete /
+    compact ops must leave the live view equal to a trivial Python
+    dict model (doc -> its newest tokens, absent if deleted) after
+    EVERY step — including compactions interleaved mid-sequence."""
+    import random
+
+    rng = random.Random(20260817)
+    words = ["alpha", "bravo", "cedar", "delta", "ember", "fjord",
+             "grove", "heron", "islet", "jumbo"]
+
+    def text_for(doc, rev):
+        r = random.Random(doc * 1000 + rev)
+        return " ".join(r.sample(words, 4))
+
+    ix = SearchIndex(str(tmp_path / "ix"), fields={"content": 10})
+    model: dict[int, set[str]] = {}
+    rev = {d: 0 for d in range(8)}
+    next_new = 0
+    for step in range(14):
+        op = rng.choice(["new", "reindex", "delete", "compact"])
+        if op == "new" and next_new < 8:
+            d = next_new
+            next_new += 1
+            t = text_for(d, rev[d])
+            ix.index_batch(
+                spark,
+                spark.createDataFrame([(d, t)], "doc_id long, content string"),
+                op_id=f"s{step}",
+            )
+            model[d] = set(t.split())
+        elif op == "reindex" and next_new:
+            d = rng.randrange(next_new)
+            rev[d] += 1
+            t = text_for(d, rev[d])
+            ix.reindex(
+                spark,
+                spark.createDataFrame([(d, t)], "doc_id long, content string"),
+                op_id=f"s{step}",
+            )
+            model[d] = set(t.split())
+        elif op == "delete" and model:
+            d = rng.choice(sorted(model))
+            ix.delete(
+                spark,
+                spark.createDataFrame([(d,)], "doc_id long"),
+                op_id=f"s{step}",
+            )
+            del model[d]
+        elif op == "compact" and not ix.table.is_empty():
+            ix.compact(spark, op_id=f"s{step}")
+        else:
+            continue
+        if ix.table.is_empty():
+            continue
+        live = {}
+        for r in ix.postings(spark).collect():
+            live.setdefault(r.doc_id, set()).add(r.tok)
+        assert live == model, (step, op)
