@@ -775,8 +775,13 @@ def dedup_embedding_pipeline(spark, sf_dir):
     "batch, no corpus re-read), search probing the persisted "
     "assignments. The every-cycle ANN-maintenance shape: results are "
     "identical to one-shot indexing because assignment under frozen "
-    "centroids is batch-invariant. Fixed per-sf root so later "
-    "sessions skip re-ingest via committed op_ids",
+    "centroids is batch-invariant. Also exercises the re-crawl path "
+    "(deletion-vector reindex, shared with SearchIndex/MinHashIndex): "
+    "vecs 1 and 3 are re-indexed with deterministically changed "
+    "embeddings (reversed arrays) and searches score ONLY the new "
+    "vectors — one-shot parity pytest-pinned in tests/test_reindex.py. "
+    "Fixed per-sf root so later sessions skip re-ingest via committed "
+    "op_ids",
 )
 def sim_ivf_incremental(spark, sf_dir):
     from omni_crawler_spark.operators.ivf import IVFIndex
@@ -785,6 +790,13 @@ def sim_ivf_incremental(spark, sf_dir):
     ix = IVFIndex(cache_root("/tmp/ocs_ivfidx", sf_dir), n_cells=16, dim=64)
     ix.bootstrap(spark, e.filter(F.col("vec_id") % 2 == 1), op_id="boot")
     ix.add_batch(spark, e.filter(F.col("vec_id") % 2 == 0), op_id="b1")
+    ix.reindex(
+        spark,
+        e.filter(F.col("vec_id").isin(1, 3)).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        op_id="re-1",
+    )
     return ix.search(spark, [0, 1, 2, 3, 4], k=5, nprobe=4).orderBy(
         "query_id", "rank"
     )

@@ -150,6 +150,17 @@ class IVFIndex:
     batches built the index. Centroid drift at 10^10-vector horizons
     is handled the way production IVF systems do: retrain offline
     into a NEW root, cut over, never mutate in place.
+
+    Re-crawl semantics: like the other two persisted indexes
+    (SearchIndex, MinHashIndex), a changed page's embedding is
+    replaced via :meth:`reindex` / dropped via :meth:`delete` through
+    the SHARED deletion-vector machinery
+    (lakehouse/deletion_vectors.py) — the analog of the reference's
+    replace-by-article-id stores (PG ``ON CONFLICT DO UPDATE``
+    omni_storage.py:137-205, SQLite ``INSERT OR REPLACE`` :410-464,
+    ES doc_id :275-296). Searches anti-filter stale assignments with
+    a broadcast tombstone-floor join (O(#reindexed-since-compaction),
+    index side streams); ``compact`` folds the vectors physically.
     """
 
     def __init__(
@@ -162,10 +173,14 @@ class IVFIndex:
     ):
         import os
 
+        from omni_crawler_spark.lakehouse.deletion_vectors import (
+            DeletionVectors,
+        )
         from omni_crawler_spark.lakehouse.table import SnapshotTable
 
         self.root = root
         self.table = SnapshotTable(root, name="ivf_assignments")
+        self.dv = DeletionVectors(self.table, root, id_col)
         self.n_cells = n_cells
         self.dim = dim
         self.id_col = id_col
@@ -205,17 +220,44 @@ class IVFIndex:
         self, spark, batch: DataFrame, op_id: str | None = None
     ) -> None:
         """Assign with the frozen centroids and append — O(batch)."""
-        self.table.append(
-            ivf_index(batch, self._load_centroids(), self.vec_col).select(
-                self.id_col, self.vec_col, "cell"
-            ),
+        self.dv.append(self._assigned(batch), op_id=op_id)
+
+    def _assigned(self, batch: DataFrame) -> DataFrame:
+        return ivf_index(batch, self._load_centroids(), self.vec_col).select(
+            self.id_col, self.vec_col, "cell"
+        )
+
+    def reindex(
+        self, spark, batch: DataFrame, op_id: str | None = None
+    ) -> None:
+        """Replace the stored embedding+assignment of ``batch``'s ids
+        (re-crawled, changed pages whose embeddings moved): one
+        O(batch) frozen-centroid assignment appended at a fresh
+        generation + one tombstone row per id marking older
+        generations dead — subsequent searches score ONLY the new
+        vector. Crash anywhere replays to the same state (the floor
+        is recovered from the committed assignment leg,
+        lakehouse/deletion_vectors.py)."""
+        self.dv.reindex(
+            spark,
+            self._assigned(batch),
+            batch.select(self.id_col),
             op_id=op_id,
         )
+
+    def delete(
+        self, spark, ids: DataFrame, op_id: str | None = None
+    ) -> None:
+        """Drop vectors from the index (pages gone on re-crawl): one
+        tombstone row per id; rows are reclaimed at ``compact`` and a
+        later :meth:`reindex` resurrects the id. ``ids`` must carry
+        the index's id column."""
+        self.dv.delete(ids.select(self.id_col), op_id=op_id)
 
     def search(
         self, spark, query_ids: list[int], k: int = 5, nprobe: int = 4
     ) -> DataFrame:
-        indexed = self.table.read(spark)
+        indexed = self.dv.live(spark)
         return ivf_topk(
             indexed,
             query_ids,
@@ -228,6 +270,8 @@ class IVFIndex:
         )
 
     def compact(self, spark, op_id: str | None = None) -> int:
-        """Fold append-per-batch dirs into one snapshot (read-amp
-        bound, same cadence policy as the dedup index)."""
-        return self.table.rewrite(spark, op_id=op_id)
+        """Fold append-per-batch dirs into one snapshot with the
+        deletion vectors APPLIED (stale assignments of re-indexed ids
+        physically dropped, tombstones cleared) — read-amp bound,
+        same cadence policy as the dedup index."""
+        return self.dv.compact(spark, op_id=op_id)

@@ -448,3 +448,121 @@ def test_deletion_vectors_random_ops_match_model(spark, tmp_path):
         for r in ix.postings(spark).collect():
             live.setdefault(r.doc_id, set()).add(r.tok)
         assert live == model, (step, op)
+
+
+# -- IVFIndex (the third persisted index) --------------------------------------
+
+
+def _two_cluster_embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(10):  # cluster A: +x axis
+        v = np.concatenate(([5.0], np.zeros(15))) + rng.standard_normal(16) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10, 20):  # cluster B: -x axis
+        v = np.concatenate(([-5.0], np.zeros(15))) + rng.standard_normal(16) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    return rng, spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_ivf_index_reindex_moves_vector_between_cells(spark, tmp_path):
+    """Re-crawled page, changed embedding: reindex replaces the stored
+    assignment so searches score ONLY the new vector — parity with a
+    one-shot index over the current corpus."""
+    import numpy as np
+
+    from omni_crawler_spark.operators import ivf as I
+
+    rng, emb = _two_cluster_embeddings(spark)
+    ix = I.IVFIndex(str(tmp_path / "ivf"), n_cells=2, dim=16)
+    ix.bootstrap(spark, emb, op_id="boot")
+
+    def neighbors(q, k=12):
+        return {
+            r.neighbor_id
+            for r in ix.search(spark, [q], k=k, nprobe=1).collect()
+        }
+
+    assert neighbors(1) == {0, 2, 3, 4, 5, 6, 7, 8, 9}
+
+    # vec 0's page changed: its embedding moved to cluster B
+    moved = np.concatenate(([-5.0], np.zeros(15))) + rng.standard_normal(16) * 0.1
+    changed = spark.createDataFrame(
+        [(0, [float(x) for x in moved])], "vec_id long, embedding array<float>"
+    )
+    ix.reindex(spark, changed, op_id="re-0")
+    assert neighbors(1) == {2, 3, 4, 5, 6, 7, 8, 9}
+    assert 0 in neighbors(10)
+
+    # index search == one-shot ivf_topk over the CURRENT corpus
+    current = emb.filter(F.col("vec_id") != 0).unionByName(changed)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ix.search(spark, [1, 10], k=5, nprobe=1).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in I.ivf_topk(
+            current, [1, 10], ix._load_centroids(), k=5, nprobe=1
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_index_reindex_replay_delete_compact(spark, tmp_path):
+    import numpy as np
+
+    from omni_crawler_spark.operators import ivf as I
+
+    rng, emb = _two_cluster_embeddings(spark)
+    ix = I.IVFIndex(str(tmp_path / "ivf"), n_cells=2, dim=16)
+    ix.bootstrap(spark, emb, op_id="boot")
+    moved = np.concatenate(([-5.0], np.zeros(15)))
+    changed = spark.createDataFrame(
+        [(0, [float(x) for x in moved])], "vec_id long, embedding array<float>"
+    )
+    ix.reindex(spark, changed, op_id="re-0")
+    v_post, v_tomb = ix.table.current_version(), ix.dv.tomb.current_version()
+    ix.reindex(spark, changed, op_id="re-0")  # replay no-ops
+    assert ix.table.current_version() == v_post
+    assert ix.dv.tomb.current_version() == v_tomb
+
+    # delete: vec 19's page is gone on re-crawl
+    ix.delete(
+        spark, spark.createDataFrame([(19,)], "vec_id long"), op_id="del-19"
+    )
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ix.search(spark, [1, 10], k=12, nprobe=1).collect()
+    }
+    assert 19 not in {n for _, n, _ in before}
+    assert 0 in {n for _, n, _ in before}  # reindexed, not deleted
+
+    # compact folds the vectors away: same results, one data dir,
+    # tombstones cleared, stale/deleted rows physically gone
+    ix.compact(spark, op_id="cmp")
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ix.search(spark, [1, 10], k=12, nprobe=1).collect()
+    }
+    assert after == before
+    assert len(ix.table.history()[-1]["data_dirs"]) == 1
+    assert ix.dv.tomb.footer_row_count() == 0
+    raw = ix.table.read(spark)
+    assert raw.filter(F.col("vec_id") == 19).count() == 0
+    assert raw.filter(F.col("vec_id") == 0).count() == 1
+
+    # a later reindex resurrects the deleted id
+    back = spark.createDataFrame(
+        [(19, [float(x) for x in np.concatenate(([-5.0], np.zeros(15)))])],
+        "vec_id long, embedding array<float>",
+    )
+    ix.reindex(spark, back, op_id="re-19")
+    assert 19 in {
+        r.neighbor_id
+        for r in ix.search(spark, [10], k=12, nprobe=1).collect()
+    }
