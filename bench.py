@@ -63,6 +63,10 @@ HEADLINE = [
     "filter_decontaminate",
     "filter_gopher_quality",
     "corpus_mix_weights",
+    "clean_boilerplate_lines",
+    "clean_pii_redact",
+    "corpus_perplexity_buckets",
+    "corpus_pack_sequences",
     "pipeline_pretrain_corpus",
     "layout_partition_prune",
     "tpch_q3_shipping",

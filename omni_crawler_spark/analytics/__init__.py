@@ -7,6 +7,7 @@ crawl + similarity modules register themselves on import).
 
 from omni_crawler_spark.analytics import registry as _core  # noqa: F401
 from omni_crawler_spark.analytics import registry_corpus as _corpus  # noqa: F401
+from omni_crawler_spark.analytics import registry_clean as _clean  # noqa: F401
 from omni_crawler_spark.analytics import registry_crawl as _crawl  # noqa: F401
 from omni_crawler_spark.analytics import registry_enrich as _enrich  # noqa: F401
 from omni_crawler_spark.analytics import registry_extra as _extra  # noqa: F401
@@ -35,6 +36,10 @@ from omni_crawler_spark.analytics.registry import REGISTRY  # noqa: F401
 
 _DRIVER_WINDOW_PRIORITY = [
     # changed/new in round 5
+    "clean_boilerplate_lines",     # NEW oracle-paired cleaning stage
+    "clean_pii_redact",            # NEW oracle-paired cleaning stage
+    "corpus_perplexity_buckets",   # NEW oracle-paired CCNet-style LM
+    "corpus_pack_sequences",       # NEW oracle-paired packing manifest
     "dedup_hamming_verify",        # NEW oracle-paired hamming kernel
     "pipeline_multimodal_counts",  # NEW oracle-paired pipeline prefix
     "alerts_cooldown_greedy",      # newly oracle-paired (recursive CTE)
@@ -81,12 +86,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_trailing_recent",
     "window_tumbling_hourly",
     # round-4 greens that interact with this round's changes
+    # (layout_partition_prune / graph_pagerank / dedup_minhash_verify /
+    # corpus_mix_weights rotated OUT for the four new cleaning-stage
+    # queries: all four hold fresh r04 driver greens and are untouched
+    # this round)
     "sim_ivf_incremental",
     "join_bucketed_colocated",
-    "layout_partition_prune",
-    "graph_pagerank",
-    "dedup_minhash_verify",
-    "corpus_mix_weights",
     # heavy rows-only evidence last: two full engine cycles (~30 s) —
     # the cheap oracle re-checks above land first if the driver
     # round's budget is tight
