@@ -49,12 +49,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_incremental_batch",     # MinHashIndex gained deletion vectors
     "crawl_frontier_drain",        # sitemap-aware fetch + robots wildcards
     "agg_approx_distinct_check",   # NEW oracle-paired HLL error bound
+    "graph_anchor_text",           # NEW oracle-paired anchor-text agg
+    "filter_url_blocklist",        # NEW oracle-paired scope control
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
     "scalar_excerpt",
-    # newest driver green is round 3
-    "agg_global_count",
+    # newest driver green is round 3 (agg_global_count rotated OUT for
+    # the two new crawl-signal queries: trivial COUNT(*), r03 driver
+    # green + re-verified by the local gate every session)
     "alerts_cooldown_bucket",
     "alerts_eval",
     "clean_main_content",
@@ -87,11 +90,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_tumbling_hourly",
     # round-4 greens that interact with this round's changes
     # (layout_partition_prune / graph_pagerank / dedup_minhash_verify /
-    # corpus_mix_weights rotated OUT for the four new cleaning-stage
-    # queries: all four hold fresh r04 driver greens and are untouched
-    # this round)
+    # corpus_mix_weights / join_bucketed_colocated rotated OUT: all
+    # hold fresh r04 driver greens and are untouched this round)
     "sim_ivf_incremental",
-    "join_bucketed_colocated",
     # heavy rows-only evidence last: two full engine cycles (~30 s) —
     # the cheap oracle re-checks above land first if the driver
     # round's budget is tight

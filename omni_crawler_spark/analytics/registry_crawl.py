@@ -205,3 +205,185 @@ def scalar_hash_ids(spark, sf_dir):
         ),
         T.content_hash(F.lit("t"), F.col("text"), url).alias("content_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Web-graph anchor-text aggregation + URL blocklist filter (round-5
+# widening: the two crawl-side signals a web-scale pipeline derives
+# before a page is ever fetched — inbound anchor text for ranking /
+# doc expansion, and domain/path blocklists for scope control).
+# ---------------------------------------------------------------------------
+
+# deterministic 3-outlink graph derived from documents: src doc_id
+# links to host (doc_id + j*7) % 20 with the j-th word of the source
+# text as the anchor — both engines construct the identical edges.
+_ANCHOR_LINKS_SQL = """
+  SELECT doc_id AS src_doc,
+         'host' || CAST((doc_id + j * 7) % 20 AS VARCHAR)
+           || '.example.com' AS dst_host,
+         string_split(text, ' ')[j] AS anchor
+  FROM documents, (SELECT unnest([1, 2, 3]) AS j)
+"""
+
+
+@register(
+    "graph_anchor_text",
+    f"""
+    WITH links AS ({_ANCHOR_LINKS_SQL}),
+    tc AS (
+      SELECT dst_host, anchor, COUNT(*) AS c
+      FROM links GROUP BY dst_host, anchor
+    ), ranked AS (
+      SELECT dst_host, anchor,
+             row_number() OVER (
+               PARTITION BY dst_host ORDER BY c DESC, anchor) AS rn
+      FROM tc
+    ), hosts AS (
+      SELECT dst_host, COUNT(*) AS n_inlinks,
+             COUNT(DISTINCT src_doc) AS n_src_docs
+      FROM links GROUP BY dst_host
+    )
+    SELECT h.dst_host, h.n_inlinks, h.n_src_docs,
+           (SELECT string_agg(anchor, ',' ORDER BY rn)
+            FROM ranked r
+            WHERE r.dst_host = h.dst_host AND rn <= 3)
+             AS top_anchor_terms
+    FROM hosts h ORDER BY dst_host
+    """,
+    doc="inbound anchor-text aggregation — the classic web-graph doc-"
+    "expansion signal (what other pages' link text says a target is "
+    "about; the reference's entity/article link join is the tiny "
+    "analog). A deterministic 3-outlink graph is derived from "
+    "documents (dst host (doc_id+j*7)%20, anchor = j-th source word) "
+    "so the oracle re-derives identical edges; per target host: "
+    "inlink count, distinct linking docs, top-3 anchor terms by "
+    "(count desc, term) rank. 100 TB shape: one partial-aggregated "
+    "groupBy(dst, anchor) shuffling (host, term) pairs — never the "
+    "raw link list — then a per-host top-k window over the already-"
+    "aggregated counts and one tiny join; anchor-text skew (everyone "
+    "links google.com) is the documented salting candidate, same as "
+    "window_topk_salted",
+)
+def graph_anchor_text(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    links = (
+        d.select(
+            "doc_id", "text",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("src_doc"),
+            F.concat(
+                F.lit("host"),
+                ((F.col("doc_id") + F.col("j") * 7) % 20).cast("string"),
+                F.lit(".example.com"),
+            ).alias("dst_host"),
+            F.element_at(F.split("text", " "), F.col("j")).alias("anchor"),
+        )
+    )
+    tc = links.groupBy("dst_host", "anchor").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("dst_host").orderBy(F.desc("c"), F.asc("anchor"))
+    )
+    tops = (
+        tc.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .groupBy("dst_host")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "anchor"))),
+                    lambda s: s["anchor"],
+                ),
+            ).alias("top_anchor_terms")
+        )
+    )
+    hosts = links.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("src_doc").alias("n_src_docs"),
+    )
+    return (
+        hosts.join(tops, "dst_host")
+        .select("dst_host", "n_inlinks", "n_src_docs", "top_anchor_terms")
+        .orderBy("dst_host")
+    )
+
+
+_BLOCKLIST = ["host3.example.com", "host7.example.com",
+              "host11.example.com", "badsite.org"]
+
+
+@register(
+    "filter_url_blocklist",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path
+      FROM f
+    ), bl(domain) AS (
+      VALUES {", ".join(f"('{d}')" for d in _BLOCKLIST)}
+    ), cand AS (
+      SELECT doc_id,
+             unnest([host, regexp_replace(host, '^[^.]+[.]', '')]) AS key
+      FROM parts
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM cand JOIN bl ON cand.key = bl.domain
+    )
+    SELECT p.doc_id, p.url, p.host,
+           CASE WHEN h.doc_id IS NOT NULL THEN 'blocked_domain'
+                WHEN p.path LIKE '/sec5/%' THEN 'blocked_path'
+                ELSE 'ok' END AS verdict
+    FROM parts p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id
+    """,
+    doc="URL scope control — domain blocklist with wildcard-subdomain "
+    "semantics (host matches an entry exactly OR after stripping one "
+    "subdomain label) plus a path-prefix block, evaluated on the "
+    "canonicalized URL before any fetch. The oracle re-derives host/"
+    "path with the same regexes and the same CASE precedence "
+    "(domain block wins over path block). 100 TB shape: the "
+    "blocklist is a broadcast dim (even real blocklists are ~10^6 "
+    "rows); candidate keys (host + parent suffix) explode to 2 rows "
+    "per URL and equi-join broadcast — never a regex-per-blocklist-"
+    "entry scan, never a nested-loop join; verdict is a map-side "
+    "CASE so the filter pushes into the scan stage of any consumer",
+)
+def filter_url_blocklist(spark, sf_dir):
+    f = synthetic_frontier(spark, sf_dir)
+    parts = f.select(
+        "doc_id",
+        U.canonicalize_url(F.col("url")).alias("url"),
+    ).select(
+        "doc_id", "url",
+        F.regexp_extract("url", "^https://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", "^https://[^/]+(/[^?]*)", 1).alias("path"),
+    )
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST], "domain string")
+    cand = parts.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("host"),
+                F.regexp_replace("host", "^[^.]+[.]", ""),
+            )
+        ).alias("key"),
+    )
+    hits = (
+        cand.join(F.broadcast(bl), cand["key"] == bl["domain"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    verdict = (
+        F.when(F.col("hit"), F.lit("blocked_domain"))
+        .when(F.col("path").startswith("/sec5/"), F.lit("blocked_path"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        parts.join(F.broadcast(hits), "doc_id", "left")
+        .select("doc_id", "url", "host", verdict.alias("verdict"))
+        .orderBy("doc_id")
+    )
