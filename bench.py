@@ -74,6 +74,11 @@ HEADLINE = [
     "text_token_count",
     "multimodal_decode_validate",
     "multimodal_resize",
+    # crawl-side signals + scheduler (round 5)
+    "graph_anchor_text",
+    "filter_url_blocklist",
+    "crawl_budget_allocate",
+    "crawl_shard_assign",
 ]
 
 DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))

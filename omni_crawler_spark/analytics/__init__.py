@@ -51,13 +51,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "agg_approx_distinct_check",   # NEW oracle-paired HLL error bound
     "graph_anchor_text",           # NEW oracle-paired anchor-text agg
     "filter_url_blocklist",        # NEW oracle-paired scope control
+    "crawl_budget_allocate",       # NEW oracle-paired water-fill quotas
+    "crawl_shard_assign",          # NEW oracle-paired host sharding
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
     "scalar_excerpt",
-    # newest driver green is round 3 (agg_global_count rotated OUT for
-    # the two new crawl-signal queries: trivial COUNT(*), r03 driver
-    # green + re-verified by the local gate every session)
+    # newest driver green is round 3 (agg_global_count /
+    # window_trailing_recent / window_tumbling_hourly rotated OUT for
+    # the four new crawl-signal queries: simple single-agg shapes,
+    # r03 driver greens + re-verified by the local gate every session)
     "alerts_cooldown_bucket",
     "alerts_eval",
     "clean_main_content",
@@ -86,8 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "validator_score",
     "window_history_trim",
     "window_topk_salted",
-    "window_trailing_recent",
-    "window_tumbling_hourly",
     # round-4 greens that interact with this round's changes
     # (layout_partition_prune / graph_pagerank / dedup_minhash_verify /
     # corpus_mix_weights / join_bucketed_colocated rotated OUT: all

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from omni_crawler_spark.analytics.registry import _t, register
+from omni_crawler_spark.analytics.registry import _t, ordered_small, register
 from omni_crawler_spark.functions import text as T
 from omni_crawler_spark.functions import urls as U
 
@@ -386,4 +386,217 @@ def filter_url_blocklist(spark, sf_dir):
         parts.join(F.broadcast(hits), "doc_id", "left")
         .select("doc_id", "url", "host", verdict.alias("verdict"))
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-scheduler queries: global fetch-budget allocation (exact integer
+# max-min fairness / water-filling) and hash-sharded crawler assignment
+# with skew stats. The reference's analog is a single global semaphore
+# (`max_concurrent_crawls`, omni_orchestrator.py:122-127) — one box, one
+# knob; at cluster scale the same policy becomes "split a global fetch
+# budget fairly across hosts" and "assign hosts to crawler shards".
+# ---------------------------------------------------------------------------
+
+# per-host pending counts derived identically by both engines; the
+# n_chars floor makes the counts non-uniform so the water level binds
+_PENDING_SQL = """
+  SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         CAST(COUNT(*) AS BIGINT) AS pending
+  FROM documents WHERE n_chars >= 150 GROUP BY 1
+"""
+
+
+@register(
+    "crawl_budget_allocate",
+    f"""
+    WITH pend AS ({_PENDING_SQL}),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((CAST(SUM(pending) AS BIGINT) * 6) // 10 AS BIGINT) AS b
+      FROM pend
+    ),
+    ranked AS (
+      SELECT host, pending,
+             CAST(row_number() OVER (ORDER BY pending, host) AS BIGINT)
+               AS rn,
+             CAST(SUM(pending) OVER (ORDER BY pending, host
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pend
+    ),
+    kk AS (
+      SELECT CAST(COALESCE(MAX(rn), 0) AS BIGINT) AS k
+      FROM ranked, tot WHERE cum + (n - rn) * pending <= b
+    ),
+    kc AS (
+      SELECT CAST(COALESCE(MAX(CASE WHEN r.rn = kk.k THEN r.cum END), 0)
+               AS BIGINT) AS cum_k
+      FROM ranked r, kk
+    )
+    SELECT r.host, r.pending,
+           CAST(CASE WHEN r.rn <= kk.k THEN r.pending
+                ELSE ((tot.b - kc.cum_k) // (tot.n - kk.k))
+                     + (CASE WHEN r.rn - kk.k
+                               <= (tot.b - kc.cum_k) % (tot.n - kk.k)
+                        THEN 1 ELSE 0 END)
+           END AS BIGINT) AS quota,
+           CASE WHEN r.rn <= kk.k THEN 'full' ELSE 'throttled' END AS status
+    FROM ranked r, kk, kc, tot
+    ORDER BY r.host
+    """,
+    doc="per-host fetch-budget allocation under exact integer max-min "
+    "fairness (water-filling): a global budget b = 60% of total "
+    "pending is split so every host gets min(pending, level); hosts "
+    "below the water level are served in full ('full'), the rest are "
+    "throttled to an integer base share with the remainder handed out "
+    "deterministically in (pending asc, host) order. The closed form "
+    "— largest k with cum_k + (n-k)*pending_k <= b — replaces the "
+    "iterative fill, so both engines compute it with two window "
+    "passes and integer arithmetic only (no float drift). Distributed "
+    "generalization of the reference's single global semaphore "
+    "(max_concurrent_crawls, omni_orchestrator.py:122-127). 100 TB "
+    "shape: one shuffle to the per-host counts; everything after runs "
+    "on the hosts dim (<=10^7 rows — a single ordered window over a "
+    "broadcast-size table, same class as the alert-rules eval), and "
+    "the resulting quota table broadcasts back against the frontier",
+)
+def crawl_budget_allocate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pend = (
+        d.filter(F.col("n_chars") >= 150)
+        .groupBy(
+            F.concat(
+                F.lit("host"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host")
+        )
+        .agg(F.count(F.lit(1)).alias("pending"))
+    )
+    w = Window.orderBy("pending", "host")
+    # n / b / k / cum_k are "global" scalars over the hosts dim, but
+    # computing them as agg + broadcast crossJoin dims spawns a Spark
+    # job per scalar (measured 4.6 s warm for 20 rows). As
+    # unpartitioned-window projections they ride the SAME
+    # single-partition WindowExec as the ranking — the whole
+    # allocation is one job after the groupBy shuffle.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pend.select(
+        "host",
+        "pending",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("pending")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    full = (
+        ranked.select(
+            "*",
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+            F.expr("sum(pending) over () * 6 div 10").alias("b"),
+        )
+        .withColumn(
+            "k",
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("cum")
+                        + (F.col("n") - F.col("rn")) * F.col("pending")
+                        <= F.col("b"),
+                        F.col("rn"),
+                    )
+                ).over(wall),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "cum_k",
+            F.coalesce(
+                F.max(F.when(F.col("rn") == F.col("k"), F.col("cum"))).over(
+                    wall
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    base = F.expr("(b - cum_k) div (n - k)")
+    extra = F.when(
+        F.col("rn") - F.col("k") <= (F.col("b") - F.col("cum_k")) % (F.col("n") - F.col("k")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    quota = (
+        F.when(F.col("rn") <= F.col("k"), F.col("pending"))
+        .otherwise(base + extra)
+        .cast("long")
+    )
+    status = F.when(F.col("rn") <= F.col("k"), F.lit("full")).otherwise(
+        F.lit("throttled")
+    )
+    return ordered_small(
+        full.select(
+            "host", "pending", quota.alias("quota"), status.alias("status")
+        ),
+        "host",
+    )
+
+
+@register(
+    "crawl_shard_assign",
+    f"""
+    WITH hc AS (
+      SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+               AS host,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ), sh AS (
+      SELECT host, n,
+             CAST(strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1
+               AS BIGINT) AS shard_id
+      FROM hc
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(SUM(n) AS BIGINT) AS n_urls,
+           CAST(MAX(n) AS BIGINT) AS max_host_urls
+    FROM sh GROUP BY shard_id ORDER BY shard_id
+    """,
+    doc="crawler shard assignment — hosts hash to one of 16 shards via "
+    "the first md5 hex digit (the whole-host hash keeps politeness "
+    "state shard-local: one shard owns every URL of a host, the "
+    "distributed version of the reference's per-process semaphore "
+    "lanes, omni_orchestrator.py:122-127); per shard: host count, URL "
+    "count, and max single-host URL count (the skew signal a "
+    "scheduler watches for hot shards). Cross-engine hash: md5 hex is "
+    "byte-identical in Spark and DuckDB; Spark maps the digit with "
+    "conv(hex,16,10), DuckDB with strpos on the hex alphabet. 100 TB "
+    "shape: one groupBy(host) shuffle (map-side combined), then a "
+    "16-row rollup — the shard map itself never materializes the URL "
+    "list, and at real scale the same hash is the partitioner key so "
+    "frontier partitions ARE the shards (no second shuffle)",
+)
+def crawl_shard_assign(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    hc = d.groupBy(
+        F.concat(
+            F.lit("host"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sh = hc.select(
+        "n",
+        F.conv(F.substring(F.md5("host"), 1, 1), 16, 10)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        sh.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("n").alias("n_urls"),
+            F.max("n").alias("max_host_urls"),
+        )
+        .orderBy("shard_id")
     )

@@ -61,3 +61,29 @@ def test_driver_window_covers_unchecked_queries():
     assert not missing, f"outside the driver window: {missing}"
     # and the priority prefix is exactly the head of the registry
     assert names[: len(expected)] == expected
+
+
+def test_budget_allocate_waterfill_invariants(spark, sf_dir):
+    """Exact integer max-min fairness: the quotas must exhaust the
+    budget, never exceed pending, and differ by at most 1 across
+    throttled hosts (the water level)."""
+    rows = (
+        REGISTRY["crawl_budget_allocate"].build(spark, sf_dir).collect()
+    )
+    assert rows, "allocation produced no hosts"
+    total = sum(r.pending for r in rows)
+    b = total * 6 // 10
+    assert sum(r.quota for r in rows) == b, "budget not exhausted exactly"
+    for r in rows:
+        assert 0 <= r.quota <= r.pending
+        if r.status == "full":
+            assert r.quota == r.pending
+    throttled = [r.quota for r in rows if r.status == "throttled"]
+    assert throttled, "60% budget must throttle someone"
+    assert max(throttled) - min(throttled) <= 1, "water level not flat"
+    # max-min: every fully-served host's demand sits at or below the
+    # throttled water level (else serving it fully would be unfair)
+    if throttled:
+        for r in rows:
+            if r.status == "full":
+                assert r.pending <= max(throttled) + 1
