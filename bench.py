@@ -79,6 +79,7 @@ HEADLINE = [
     "filter_url_blocklist",
     "crawl_budget_allocate",
     "crawl_shard_assign",
+    "crawl_revisit_schedule",
 ]
 
 DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))

@@ -53,6 +53,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "filter_url_blocklist",        # NEW oracle-paired scope control
     "crawl_budget_allocate",       # NEW oracle-paired water-fill quotas
     "crawl_shard_assign",          # NEW oracle-paired host sharding
+    "crawl_revisit_schedule",      # NEW oracle-paired change-rate policy
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
@@ -60,7 +61,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # newest driver green is round 3 (agg_global_count /
     # window_trailing_recent / window_tumbling_hourly rotated OUT for
     # the four new crawl-signal queries: simple single-agg shapes,
-    # r03 driver greens + re-verified by the local gate every session)
+    # r03 driver greens + re-verified by the local gate every session;
+    # search_sorted_date likewise rotated OUT — its sibling
+    # search_sorted_quality stays and exercises the same dispatch)
     "alerts_cooldown_bucket",
     "alerts_eval",
     "clean_main_content",
@@ -78,7 +81,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "scalar_html_extract",
     "search_bm25",
     "search_rank",
-    "search_sorted_date",
     "search_sorted_quality",
     "sim_topk_cosine",
     "source_rss_parse",

@@ -600,3 +600,84 @@ def crawl_shard_assign(spark, sf_dir):
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "crawl_revisit_schedule",
+    """
+    WITH agg AS (
+      SELECT user_id AS page_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (event_type IN ('click', 'purchase'))
+               AS BIGINT) AS n_changes,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS max_s,
+             CAST(floor(epoch(MIN(ts))) AS BIGINT) AS min_s
+      FROM events GROUP BY user_id
+    ), sched AS (
+      SELECT *, CASE
+          WHEN n_changes > 0
+               AND n_changes * 86400 >= 2 * (max_s - min_s) THEN 3600
+          WHEN n_changes > 0
+               AND n_changes * 86400 * 2 >= (max_s - min_s) THEN 86400
+          WHEN n_changes > 0 THEN 604800
+          ELSE 2592000
+        END AS interval_s
+      FROM agg
+    )
+    SELECT page_id, n_events, n_changes,
+           CASE interval_s WHEN 3600 THEN 'hourly' WHEN 86400 THEN 'daily'
+                WHEN 604800 THEN 'weekly' ELSE 'monthly'
+           END AS revisit_bucket,
+           CAST(interval_s AS BIGINT) AS interval_s,
+           CAST(max_s + interval_s AS BIGINT) AS next_fetch_s
+    FROM sched ORDER BY page_id
+    """,
+    doc="adaptive revisit scheduling — the change-rate policy every "
+    "production crawler runs (pages that change often are re-fetched "
+    "often; the reference re-crawls on a fixed orchestrator cadence, "
+    "omni_orchestrator.py:122-127, with replace-by-id sinks absorbing "
+    "the updates). Per page: change events ('click'/'purchase' stand "
+    "in for content-changed observations) per observed span map to "
+    "hourly/daily/weekly/monthly revisit buckets; next_fetch_s = last "
+    "observation + interval. Rate thresholds are integer cross-"
+    "multiplications (changes*86400 vs span_s multiples) — zero "
+    "division, zero float drift, and span_s=0 single-observation "
+    "pages fall through safely. Epochs via floor(epoch()) ↔ "
+    "unix_timestamp (DuckDB epoch CAST rounds; floor matches Spark's "
+    "truncation). 100 TB shape: one map-side-combined groupBy(page) "
+    "over the observation log — the schedule derives in a single "
+    "shuffle and joins back to the frontier broadcast-side (pages dim "
+    "<< observation log)",
+)
+def crawl_revisit_schedule(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_change = F.col("event_type").isin("click", "purchase")
+    agg = ev.groupBy(F.col("user_id").alias("page_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_change, 1).otherwise(0)).cast("long").alias("n_changes"),
+        F.unix_timestamp(F.max("ts")).alias("max_s"),
+        F.unix_timestamp(F.min("ts")).alias("min_s"),
+    )
+    span = F.col("max_s") - F.col("min_s")
+    ch = F.col("n_changes")
+    interval_s = (
+        F.when((ch * 86400 >= 2 * span) & (ch > 0), F.lit(3600))
+        .when((ch * 86400 * 2 >= span) & (ch > 0), F.lit(86400))
+        .when(ch > 0, F.lit(604800))
+        .otherwise(F.lit(2592000))
+        .cast("long")
+    )
+    bucket = (
+        F.when((ch * 86400 >= 2 * span) & (ch > 0), F.lit("hourly"))
+        .when((ch * 86400 * 2 >= span) & (ch > 0), F.lit("daily"))
+        .when(ch > 0, F.lit("weekly"))
+        .otherwise(F.lit("monthly"))
+    )
+    return agg.select(
+        "page_id",
+        "n_events",
+        "n_changes",
+        bucket.alias("revisit_bucket"),
+        interval_s.alias("interval_s"),
+        (F.col("max_s") + interval_s).cast("long").alias("next_fetch_s"),
+    ).orderBy("page_id")

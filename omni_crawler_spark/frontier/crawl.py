@@ -405,9 +405,34 @@ class CrawlEngine:
                 id_col="url_hash",
             )
             re_ids = self._pending_reindex_ids(spark, valid_now)
+            if re_ids is None and (
+                self.index_dv.table.version_of(f"{op}-index-post")
+                is not None
+            ):
+                # crash-replay of a reindex cycle whose marker was
+                # already consumed: the marker now reads empty, but
+                # taking the append branch would commit the postings
+                # under the FRESH op_id f"{op}-index" and duplicate
+                # them. Re-enter the reindex path with no ids — both
+                # legs then no-op under their committed op_ids.
+                re_ids = spark.createDataFrame([], "url_hash long")
             if re_ids is None:
                 self.index_dv.append(postings, op_id=f"{op}-index")
             else:
+                if unchanged_recrawl is not None:
+                    # unchanged re-fetches keep their live postings:
+                    # no tombstone, no re-post (the new postings are
+                    # byte-identical to the live ones by construction)
+                    re_ids = re_ids.join(
+                        F.broadcast(unchanged_recrawl),
+                        "url_hash",
+                        "left_anti",
+                    )
+                    postings = postings.join(
+                        F.broadcast(unchanged_recrawl),
+                        "url_hash",
+                        "left_anti",
+                    )
                 self.index_dv.reindex(
                     spark, postings, re_ids, op_id=f"{op}-index"
                 )
@@ -428,6 +453,22 @@ class CrawlEngine:
             # periodic maintenance: bound merge-on-read amplification
             if cycle_id % 8 == 0:
                 self.articles.compact(spark, op_id=f"{op}-compact")
+
+        # HTTP-304 analog (reference models carry the latent
+        # etag/last_modified fields for this, enhanced_article.py:36,60,
+        # never populated by its fetch path): re-fetches whose indexed
+        # surface is byte-identical skip the deletion-vector replace —
+        # at web scale most re-crawls return unchanged pages, so this
+        # is the difference between O(changed) and O(recrawled) index
+        # churn. MUST run before the commit pool: the comparison reads
+        # the PRE-cycle articles version, which would race the
+        # parallel commit_articles upsert (and flip on crash-replay
+        # after the upsert landed) if evaluated inside commit_index.
+        unchanged_recrawl = (
+            self._unchanged_recrawl_ids(spark, fetched_now, op)
+            if self.maintain_index and self.maintain_articles
+            else None
+        )
 
         with ThreadPoolExecutor(max_workers=6) as pool:
             futures = [
@@ -607,6 +648,68 @@ class CrawlEngine:
             .select("url_hash")
             .join(F.broadcast(batch_ids), "url_hash", "left_semi")
             .distinct()
+        )
+
+    def _unchanged_recrawl_ids(
+        self, spark: SparkSession, fetched_now: DataFrame, op: str
+    ):
+        """url_hashes among this cycle's valid fetches whose INDEXED
+        surface (title/content/caption — exactly the fields
+        build_inverted_index posts) is byte-identical to the stored
+        article: the conditional-fetch / HTTP-304 short-circuit. The
+        article_id's md5(content)[:8] alone is NOT enough — the title
+        is indexed too, so the fingerprint covers all three fields.
+
+        Replay-pinned: compares against the articles version BEFORE
+        this cycle's upsert (version_of(op)-1 when the upsert already
+        landed on a crash-replay; latest otherwise — the caller runs
+        this before the parallel commit pool). Without the pin, a
+        replay after commit_articles landed would see its own new
+        rows and misclassify every changed doc as unchanged, leaving
+        stale postings live forever.
+
+        Returns an eagerly-materialized O(batch) DataFrame, or None
+        when there is nothing to compare (empty marker / empty
+        articles store). Cost when the reindex marker is empty — the
+        pure-forward-crawl path — is one driver-side parquet-footer
+        read; the comparison itself is a 2-column scan of articles
+        broadcast-joined against the batch."""
+        if self.reindex_marker.footer_row_count() == 0:
+            return None
+        v_commit = self.articles.version_of(f"{op}-articles")
+        if v_commit is None:
+            if self.articles.is_empty():
+                return None
+            version = None  # latest == pre-cycle (called pre-pool)
+        else:
+            if v_commit <= 1:
+                return None  # articles were empty before this cycle
+            version = v_commit - 1
+
+        def fp():
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.coalesce(F.col("title"), F.lit("")),
+                    F.coalesce(F.col("content"), F.lit("")),
+                    F.coalesce(F.col("caption"), F.lit("")),
+                )
+            )
+
+        prev = self.articles.read(spark, version=version).select(
+            "url_hash", fp().alias("_prev_fp")
+        )
+        cur = (
+            fetched_now.filter(F.col("valid"))
+            .select("url_hash", fp().alias("_new_fp"))
+            .distinct()
+        )
+        return (
+            prev.join(F.broadcast(cur), "url_hash")
+            .filter(F.col("_prev_fp") == F.col("_new_fp"))
+            .select("url_hash")
+            .distinct()
+            .localCheckpoint()
         )
 
     def _consume_reindex_marker(

@@ -566,3 +566,107 @@ def test_ivf_index_reindex_replay_delete_compact(spark, tmp_path):
         r.neighbor_id
         for r in ix.search(spark, [10], k=12, nprobe=1).collect()
     }
+
+
+def test_crawl_engine_unchanged_recrawl_skips_index_churn(spark, tmp_path):
+    """The HTTP-304 analog: a re-fetch whose indexed surface
+    (title/content/caption) is byte-identical must NOT tombstone or
+    re-post — zero deletion-vector churn — while search keeps serving
+    the same live postings. The frontier is drained to empty first so
+    a recrawl cycle schedules exactly one URL (crawl_seq, which the
+    synthetic title embeds, is then deterministic across recrawls)."""
+    from omni_crawler_spark.frontier.crawl import CrawlEngine
+    from omni_crawler_spark.frontier.synthetic import (
+        generate_hosts,
+        generate_seeds,
+    )
+
+    eng = CrawlEngine(
+        str(tmp_path / "wh"),
+        cycle_budget_ms=10**9,
+        maintain_articles=True,
+        maintain_index=True,
+    )
+    eng.bootstrap(generate_seeds(spark, 40, partitions=4),
+                  generate_hosts(spark))
+    cycle = 0
+    while True:
+        cycle += 1
+        stats = eng.run_cycle(spark, cycle, collect_stats=False)
+        if stats["n_scheduled"] == 0:
+            break
+        assert cycle < 12, "frontier did not drain"
+    target = (
+        eng.fetched.read(spark)
+        .filter(F.col("valid"))
+        .select("url_canonical", "url_hash")
+        .first()
+    )
+    one = spark.createDataFrame([(target.url_canonical,)], "url string")
+
+    # first recrawl: schedules exactly {target}; its crawl_seq (and so
+    # its title) may differ from the original crawl → changed path OK
+    eng.recrawl(spark, one, op_id="rc-a")
+    cycle += 1
+    stats = eng.run_cycle(spark, cycle, collect_stats=False)
+    assert stats["n_scheduled"] == 1
+    tomb_rows = eng.index_dv.tomb.footer_row_count()
+    index_rows = eng.index_dv.table.footer_row_count()
+    live_before = {
+        tuple(r)
+        for r in eng.index_dv.live(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .select("url_hash", "fld", "boost10", "tok")
+        .collect()
+    }
+    assert live_before, "target doc must be indexed"
+
+    # second recrawl: same single-URL schedule → same crawl_seq → the
+    # re-fetched page is byte-identical → the 304 short-circuit
+    eng.recrawl(spark, one, op_id="rc-b")
+    cycle += 1
+    stats = eng.run_cycle(spark, cycle, collect_stats=False)
+    assert stats["n_scheduled"] == 1
+    assert eng.index_dv.tomb.footer_row_count() == tomb_rows, \
+        "unchanged re-fetch must add no tombstones"
+    assert eng.index_dv.table.footer_row_count() == index_rows, \
+        "unchanged re-fetch must append no postings"
+    live_after = {
+        tuple(r)
+        for r in eng.index_dv.live(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .select("url_hash", "fld", "boost10", "tok")
+        .collect()
+    }
+    assert live_after == live_before
+    # the fetch itself DID happen (three log entries) and the keyed
+    # articles store still resolves to one live row
+    assert (
+        eng.fetched.read(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .count()
+        >= 3
+    )
+    assert (
+        eng.articles.read(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .count()
+        == 1
+    )
+
+    # crash-replay of the unchanged-recrawl cycle: version_of pins the
+    # comparison to the PRE-cycle articles state, so the replay stays
+    # a no-op (without the pin it would see the cycle's own upsert)
+    v_tomb = eng.index_dv.tomb.current_version()
+    v_index = eng.index_dv.table.current_version()
+    eng.recrawl(spark, one, op_id="rc-b")
+    eng.run_cycle(spark, cycle, collect_stats=False)
+    assert eng.index_dv.tomb.current_version() == v_tomb
+    assert eng.index_dv.table.current_version() == v_index
+    assert {
+        tuple(r)
+        for r in eng.index_dv.live(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .select("url_hash", "fld", "boost10", "tok")
+        .collect()
+    } == live_before
