@@ -39,6 +39,21 @@ from omni_crawler_spark.functions import urls as U
 from omni_crawler_spark.lakehouse import SnapshotTable
 
 
+def _indexed_fp() -> "F.Column":
+    """Fingerprint of a page's INDEXED surface (title/content/caption —
+    exactly the fields build_inverted_index posts). Shared by the
+    HTTP-304 unchanged-recrawl short-circuit and the change-rate
+    revisit scheduler so "changed" means the same thing to both."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("title"), F.lit("")),
+            F.coalesce(F.col("content"), F.lit("")),
+            F.coalesce(F.col("caption"), F.lit("")),
+        )
+    )
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -622,6 +637,114 @@ class CrawlEngine:
             op_id=f"{op_id}-marker",
         )
 
+    # ------------------------------------------------------------ revisits
+
+    def revisit_schedule(self, spark: SparkSession) -> DataFrame:
+        """Per-page adaptive revisit schedule from the fetched log —
+        the change-rate policy behind the oracle-paired
+        ``crawl_revisit_schedule`` query, wired to the engine's own
+        observations (the reference re-crawls on a fixed orchestrator
+        cadence, omni_orchestrator.py:122-127; production crawlers
+        derive the cadence from observed change rates per page).
+
+        A "change" is a valid re-fetch whose indexed-surface
+        fingerprint differs from the previous valid fetch of the same
+        url_hash (the exact complement of the HTTP-304 short-circuit:
+        what that path skips, this path counts as unchanged). The
+        clock is the cycle counter — deterministic, replay-stable,
+        and the unit the engine actually schedules in. Interval
+        ladder (cycles), integer cross-multiplication so there is no
+        division and single-observation pages (span 0) fall through
+        safely:
+
+        - changes on ≥ half the observed span   → every cycle
+        - changes on ≥ a quarter of the span    → every 4 cycles
+        - any change ever observed              → every 16 cycles
+        - never observed changed                → every 64 cycles
+
+        Columns: url_hash, url_canonical, n_obs, n_changes,
+        last_cycle, interval_cycles, next_fetch_cycle.
+
+        100 TB shape: one window over the fetched log partitioned by
+        url_hash (a single hash shuffle — the same key the log would
+        be bucketed on); everything after the lag is map-side. At
+        10^10 pages keep a persisted per-page state table (n_changes,
+        last_fp, last_cycle) folded forward per cycle delta instead
+        of re-windowing the full log; this method is that fold run
+        from genesis."""
+        from pyspark.sql import Window
+
+        log = (
+            self.fetched.read(spark)
+            .filter(F.col("valid"))
+            .select(
+                "url_hash",
+                "url_canonical",
+                "cycle_id",
+                "start_ms",
+                _indexed_fp().alias("_fp"),
+            )
+        )
+        w = Window.partitionBy("url_hash").orderBy("cycle_id", "start_ms")
+        obs = log.withColumn("_prev_fp", F.lag("_fp").over(w)).withColumn(
+            "_changed",
+            (
+                F.col("_prev_fp").isNotNull()
+                & (F.col("_fp") != F.col("_prev_fp"))
+            ).cast("int"),
+        )
+        agg = obs.groupBy("url_hash").agg(
+            # one url_hash ↔ one canonical URL by construction; min()
+            # keeps the agg deterministic rather than order-dependent
+            F.min("url_canonical").alias("url_canonical"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("_changed").cast("long").alias("n_changes"),
+            F.max("cycle_id").cast("long").alias("last_cycle"),
+            (F.max("cycle_id") - F.min("cycle_id"))
+            .cast("long")
+            .alias("_span"),
+        )
+        ch, span = F.col("n_changes"), F.col("_span")
+        interval = (
+            F.when((ch > 0) & (ch * 2 >= span), F.lit(1))
+            .when((ch > 0) & (ch * 4 >= span), F.lit(4))
+            .when(ch > 0, F.lit(16))
+            .otherwise(F.lit(64))
+            .cast("long")
+        )
+        return agg.select(
+            "url_hash",
+            "url_canonical",
+            "n_obs",
+            "n_changes",
+            "last_cycle",
+            interval.alias("interval_cycles"),
+            (F.col("last_cycle") + interval).alias("next_fetch_cycle"),
+        )
+
+    def schedule_revisits(
+        self, spark: SparkSession, as_of_cycle: int, op_id: str
+    ) -> int:
+        """Enqueue every page whose ``next_fetch_cycle`` has arrived
+        (per :meth:`revisit_schedule`) through the idempotent
+        :meth:`recrawl` path; returns how many were enqueued. Due
+        pages carry priority 10 so they schedule promptly; their
+        refetch then routes through the deletion-vector reindex path,
+        and if the page turns out unchanged, the HTTP-304
+        short-circuit keeps the index untouched — the full adaptive
+        loop is O(due batch), never O(corpus). Call between cycles
+        (e.g. every Nth) with the current cycle counter."""
+        due = (
+            self.revisit_schedule(spark)
+            .filter(F.col("next_fetch_cycle") <= F.lit(int(as_of_cycle)))
+            .select(F.col("url_canonical").alias("url"))
+            .localCheckpoint()
+        )
+        n = due.count()
+        if n:
+            self.recrawl(spark, due, op_id=op_id)
+        return n
+
     # ------------------------------------------------------- reindex marker
 
     def _pending_reindex_ids(self, spark: SparkSession, valid_now: DataFrame):
@@ -686,22 +809,12 @@ class CrawlEngine:
                 return None  # articles were empty before this cycle
             version = v_commit - 1
 
-        def fp():
-            return F.md5(
-                F.concat_ws(
-                    "\x1f",
-                    F.coalesce(F.col("title"), F.lit("")),
-                    F.coalesce(F.col("content"), F.lit("")),
-                    F.coalesce(F.col("caption"), F.lit("")),
-                )
-            )
-
         prev = self.articles.read(spark, version=version).select(
-            "url_hash", fp().alias("_prev_fp")
+            "url_hash", _indexed_fp().alias("_prev_fp")
         )
         cur = (
             fetched_now.filter(F.col("valid"))
-            .select("url_hash", fp().alias("_new_fp"))
+            .select("url_hash", _indexed_fp().alias("_new_fp"))
             .distinct()
         )
         return (

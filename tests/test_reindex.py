@@ -670,3 +670,83 @@ def test_crawl_engine_unchanged_recrawl_skips_index_churn(spark, tmp_path):
         .select("url_hash", "fld", "boost10", "tok")
         .collect()
     } == live_before
+
+
+def test_crawl_engine_adaptive_revisit_scheduling(spark, tmp_path):
+    """The change-rate revisit loop end to end: a page OBSERVED to
+    change gets a short revisit interval and is re-enqueued when due;
+    never-changed pages keep the long (64-cycle) interval and are NOT
+    enqueued. The recrawl seeding is idempotent under its op_id."""
+    from omni_crawler_spark.frontier.crawl import CrawlEngine
+    from omni_crawler_spark.frontier.synthetic import (
+        generate_hosts,
+        generate_seeds,
+    )
+
+    eng = CrawlEngine(
+        str(tmp_path / "wh"),
+        cycle_budget_ms=10**9,
+        maintain_articles=True,
+        maintain_index=True,
+    )
+    eng.bootstrap(generate_seeds(spark, 40, partitions=4),
+                  generate_hosts(spark))
+    cycle = 0
+    while True:
+        cycle += 1
+        stats = eng.run_cycle(spark, cycle, collect_stats=False)
+        if stats["n_scheduled"] == 0:
+            break
+        assert cycle < 12, "frontier did not drain"
+    # a page originally fetched at crawl_seq > 1: the single-URL
+    # recrawl cycle assigns row_number 1, so the synthetic title
+    # (which embeds the seq) differs → one observed CHANGE
+    target = (
+        eng.fetched.read(spark)
+        .filter(F.col("valid") & (F.col("crawl_seq") > 1))
+        .select("url_canonical", "url_hash")
+        .first()
+    )
+    one = spark.createDataFrame([(target.url_canonical,)], "url string")
+    eng.recrawl(spark, one, op_id="rv-seed")
+    cycle += 1
+    assert eng.run_cycle(spark, cycle, collect_stats=False)[
+        "n_scheduled"] == 1
+
+    sched = {r.url_hash: r for r in eng.revisit_schedule(spark).collect()}
+    tgt = sched[target.url_hash]
+    assert tgt.n_obs >= 2 and tgt.n_changes >= 1
+    # a changed page lands on one of the short ladder rungs (which one
+    # depends on the cycle span between its two fetches), always
+    # strictly shorter than the never-changed 64-cycle default
+    assert tgt.interval_cycles in (1, 4, 16)
+    assert tgt.next_fetch_cycle == tgt.last_cycle + tgt.interval_cycles
+    others = [r for h, r in sched.items() if h != target.url_hash]
+    assert others and all(
+        r.n_changes == 0 and r.interval_cycles == 64 for r in others
+    )
+    assert all(r.next_fetch_cycle == r.last_cycle + 64 for r in others)
+
+    # as_of just past the target's next_fetch but far before the
+    # others' → exactly one page due
+    n = eng.schedule_revisits(
+        spark, as_of_cycle=tgt.next_fetch_cycle, op_id="rv-due-1"
+    )
+    assert n == 1
+    # idempotent replay of the same scheduling decision: the recrawl
+    # commits no-op under their op_ids (frontier row count unchanged)
+    rows_before = eng.frontier.footer_row_count()
+    eng.schedule_revisits(
+        spark, as_of_cycle=tgt.next_fetch_cycle, op_id="rv-due-1"
+    )
+    assert eng.frontier.footer_row_count() == rows_before
+
+    cycle += 1
+    stats = eng.run_cycle(spark, cycle, collect_stats=False)
+    assert stats["n_scheduled"] == 1  # only the due page refetched
+    assert (
+        eng.articles.read(spark)
+        .filter(F.col("url_hash") == target.url_hash)
+        .count()
+        == 1
+    )
