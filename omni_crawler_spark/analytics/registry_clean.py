@@ -271,7 +271,7 @@ def clean_pii_redact(spark, sf_dir):
             F.length(redacted).cast("long").alias("redacted_chars"),
             F.md5(redacted).alias("redacted_md5"),
         )
-        .orderBy("doc_id")
+        .transform(lambda df: ordered_small(df, "doc_id"))
     )
 
 
@@ -350,7 +350,7 @@ def corpus_perplexity_buckets(spark, sf_dir):
         .when(F.col("bits_per_token") >= _PPL_TAIL, F.lit("tail"))
         .otherwise(F.lit("middle"))
     )
-    return scored.withColumn("bucket", bucket).orderBy("doc_id")
+    return ordered_small(scored.withColumn("bucket", bucket), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -441,12 +441,12 @@ def corpus_pack_sequences(spark, sf_dir):
     last_seq = (
         (F.col("start_off") + F.col("n_tokens") - 1) / _SEQ_LEN
     ).cast("long")
-    return (
+    return ordered_small(
         offs.select(
             "doc_id", "n_tokens", "start_off",
             first_seq.alias("first_seq"),
             last_seq.alias("last_seq"),
             (last_seq - first_seq + 1).alias("n_seqs"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )

@@ -303,10 +303,10 @@ def graph_anchor_text(spark, sf_dir):
         F.count(F.lit(1)).alias("n_inlinks"),
         F.countDistinct("src_doc").alias("n_src_docs"),
     )
-    return (
+    return ordered_small(
         hosts.join(tops, "dst_host")
-        .select("dst_host", "n_inlinks", "n_src_docs", "top_anchor_terms")
-        .orderBy("dst_host")
+        .select("dst_host", "n_inlinks", "n_src_docs", "top_anchor_terms"),
+        "dst_host",
     )
 
 
@@ -318,7 +318,11 @@ _BLOCKLIST = ["host3.example.com", "host7.example.com",
     "filter_url_blocklist",
     f"""
     WITH f AS (
-      SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN regexp_replace(u, '^https://', 'https://cdn.')
+                  ELSE u END AS url
+      FROM (SELECT doc_id, {_CANON_URL_SQL} AS u FROM documents) t
     ), parts AS (
       SELECT doc_id, url,
              regexp_extract(url, '^https://([^/]+)', 1) AS host,
@@ -342,7 +346,11 @@ _BLOCKLIST = ["host3.example.com", "host7.example.com",
     doc="URL scope control — domain blocklist with wildcard-subdomain "
     "semantics (host matches an entry exactly OR after stripping one "
     "subdomain label) plus a path-prefix block, evaluated on the "
-    "canonicalized URL before any fetch. The oracle re-derives host/"
+    "canonicalized URL before any fetch. Every third doc carries a "
+    "planted cdn. subdomain (which canonicalization keeps — only "
+    "www. is stripped), so cdn.host3/7/11 URLs match ONLY via the "
+    "stripped parent key: both match branches are exercised by the "
+    "oracle, not just the exact-host one. The oracle re-derives host/"
     "path with the same regexes and the same CASE precedence "
     "(domain block wins over path block). 100 TB shape: the "
     "blocklist is a broadcast dim (even real blocklists are ~10^6 "
@@ -355,7 +363,15 @@ def filter_url_blocklist(spark, sf_dir):
     f = synthetic_frontier(spark, sf_dir)
     parts = f.select(
         "doc_id",
-        U.canonicalize_url(F.col("url")).alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.regexp_replace(
+                U.canonicalize_url(F.col("url")),
+                "^https://", "https://cdn.",
+            ),
+        )
+        .otherwise(U.canonicalize_url(F.col("url")))
+        .alias("url"),
     ).select(
         "doc_id", "url",
         F.regexp_extract("url", "^https://([^/]+)", 1).alias("host"),

@@ -43,15 +43,18 @@ def _indexed_fp() -> "F.Column":
     """Fingerprint of a page's INDEXED surface (title/content/caption —
     exactly the fields build_inverted_index posts). Shared by the
     HTTP-304 unchanged-recrawl short-circuit and the change-rate
-    revisit scheduler so "changed" means the same thing to both."""
-    return F.md5(
-        F.concat_ws(
-            "\x1f",
-            F.coalesce(F.col("title"), F.lit("")),
-            F.coalesce(F.col("content"), F.lit("")),
-            F.coalesce(F.col("caption"), F.lit("")),
-        )
-    )
+    revisit scheduler so "changed" means the same thing to both.
+
+    Each field is hashed SEPARATELY before combining: a separator-join
+    of the raw fields would let content containing the separator byte
+    alias across field boundaries (title='a\\x1fb' / content='c' vs
+    title='a' / content='b\\x1fc'), misclassifying a changed page as
+    unchanged and keeping stale postings live forever."""
+
+    def h(c: str) -> "F.Column":
+        return F.md5(F.coalesce(F.col(c), F.lit("")))
+
+    return F.md5(F.concat(h("title"), h("content"), h("caption")))
 
 
 class CrawlEngine:
@@ -434,6 +437,15 @@ class CrawlEngine:
             if re_ids is None:
                 self.index_dv.append(postings, op_id=f"{op}-index")
             else:
+                re_ids = re_ids.localCheckpoint()
+                unchanged_recrawl = (
+                    self._unchanged_recrawl_ids(
+                        spark, fetched_now, re_ids, unchanged_fp_version
+                    )
+                    if unchanged_fp_version is not None
+                    and re_ids.limit(1).count() > 0
+                    else None
+                )
                 if unchanged_recrawl is not None:
                     # unchanged re-fetches keep their live postings:
                     # no tombstone, no re-post (the new postings are
@@ -475,12 +487,19 @@ class CrawlEngine:
         # surface is byte-identical skip the deletion-vector replace —
         # at web scale most re-crawls return unchanged pages, so this
         # is the difference between O(changed) and O(recrawled) index
-        # churn. MUST run before the commit pool: the comparison reads
-        # the PRE-cycle articles version, which would race the
-        # parallel commit_articles upsert (and flip on crash-replay
-        # after the upsert landed) if evaluated inside commit_index.
-        unchanged_recrawl = (
-            self._unchanged_recrawl_ids(spark, fetched_now, op)
+        # churn. Only the VERSION PIN happens here (driver-side
+        # manifest reads, no Spark job): the pre-cycle articles
+        # version must be resolved before the parallel
+        # commit_articles upsert can advance "latest" (and a
+        # crash-replay after that upsert landed must re-pin to
+        # version_of(op)-1, or changed docs would compare against
+        # their own new rows and misclassify as unchanged). The
+        # articles fingerprint scan itself runs inside the pooled
+        # commit_index, pinned to this version — overlapped with the
+        # other commits and skipped entirely when no marker hash is
+        # in this cycle's batch.
+        unchanged_fp_version = (
+            self._unchanged_fp_version(op)
             if self.maintain_index and self.maintain_articles
             else None
         )
@@ -773,47 +792,58 @@ class CrawlEngine:
             .distinct()
         )
 
+    def _unchanged_fp_version(self, op: str) -> int | None:
+        """The articles version the HTTP-304 comparison must read —
+        the snapshot BEFORE this cycle's upsert — or None when there
+        is nothing to compare (empty reindex marker / empty articles
+        store). Driver-side manifest reads only (no Spark job), so
+        run_cycle can resolve it before launching the commit pool:
+        version_of(op)-1 when the upsert already landed on a
+        crash-replay, the current (pre-pool) version otherwise.
+        Without the pin, a replay after commit_articles landed would
+        compare changed docs against their own new rows and
+        misclassify them as unchanged, leaving stale postings live
+        forever."""
+        if self.reindex_marker.footer_row_count() == 0:
+            return None
+        v_commit = self.articles.version_of(f"{op}-articles")
+        if v_commit is None:
+            return self.articles.current_version() or None  # 0 == empty
+        if v_commit <= 1:
+            return None  # articles were empty before this cycle
+        return v_commit - 1
+
     def _unchanged_recrawl_ids(
-        self, spark: SparkSession, fetched_now: DataFrame, op: str
+        self,
+        spark: SparkSession,
+        fetched_now: DataFrame,
+        re_ids: DataFrame,
+        version: int,
     ):
-        """url_hashes among this cycle's valid fetches whose INDEXED
-        surface (title/content/caption — exactly the fields
+        """url_hashes among this cycle's pending RE-crawls whose
+        INDEXED surface (title/content/caption — exactly the fields
         build_inverted_index posts) is byte-identical to the stored
         article: the conditional-fetch / HTTP-304 short-circuit. The
         article_id's md5(content)[:8] alone is NOT enough — the title
         is indexed too, so the fingerprint covers all three fields.
 
-        Replay-pinned: compares against the articles version BEFORE
-        this cycle's upsert (version_of(op)-1 when the upsert already
-        landed on a crash-replay; latest otherwise — the caller runs
-        this before the parallel commit pool). Without the pin, a
-        replay after commit_articles landed would see its own new
-        rows and misclassify every changed doc as unchanged, leaving
-        stale postings live forever.
+        Reads the articles snapshot at the replay-pinned ``version``
+        from :meth:`_unchanged_fp_version` (resolved pre-pool), so it
+        is safe to evaluate concurrently with the commit_articles
+        upsert. Both sides are semi-joined to the broadcast pending
+        set first: only re-crawled docs are fingerprinted, and the
+        articles scan prunes to O(pending) rows surviving the
+        broadcast hash join.
 
-        Returns an eagerly-materialized O(batch) DataFrame, or None
-        when there is nothing to compare (empty marker / empty
-        articles store). Cost when the reindex marker is empty — the
-        pure-forward-crawl path — is one driver-side parquet-footer
-        read; the comparison itself is a 2-column scan of articles
-        broadcast-joined against the batch."""
-        if self.reindex_marker.footer_row_count() == 0:
-            return None
-        v_commit = self.articles.version_of(f"{op}-articles")
-        if v_commit is None:
-            if self.articles.is_empty():
-                return None
-            version = None  # latest == pre-cycle (called pre-pool)
-        else:
-            if v_commit <= 1:
-                return None  # articles were empty before this cycle
-            version = v_commit - 1
-
-        prev = self.articles.read(spark, version=version).select(
-            "url_hash", _indexed_fp().alias("_prev_fp")
+        Returns an eagerly-materialized O(pending) DataFrame."""
+        prev = (
+            self.articles.read(spark, version=version)
+            .join(F.broadcast(re_ids), "url_hash", "left_semi")
+            .select("url_hash", _indexed_fp().alias("_prev_fp"))
         )
         cur = (
             fetched_now.filter(F.col("valid"))
+            .join(F.broadcast(re_ids), "url_hash", "left_semi")
             .select("url_hash", _indexed_fp().alias("_new_fp"))
             .distinct()
         )
