@@ -80,6 +80,10 @@ HEADLINE = [
     "crawl_budget_allocate",
     "crawl_shard_assign",
     "crawl_revisit_schedule",
+    # training-layout queries (round 5)
+    "multimodal_aspect_buckets",
+    "multimodal_wds_shards",
+    "corpus_train_val_split",
 ]
 
 DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))

@@ -54,6 +54,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "crawl_budget_allocate",       # NEW oracle-paired water-fill quotas
     "crawl_shard_assign",          # NEW oracle-paired host sharding
     "crawl_revisit_schedule",      # NEW oracle-paired change-rate policy
+    "multimodal_aspect_buckets",   # NEW oracle-paired training layout
+    "multimodal_wds_shards",       # NEW oracle-paired shard manifest
+    "corpus_train_val_split",      # NEW oracle-paired stable hash split
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
@@ -64,7 +67,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # r03 driver greens + re-verified by the local gate every session;
     # search_sorted_date likewise rotated OUT — its sibling
     # search_sorted_quality stays and exercises the same dispatch)
-    "alerts_cooldown_bucket",
+    # (alerts_cooldown_bucket rotated OUT for the three new layout/
+    # split queries — its sibling alerts_cooldown_greedy stays in the
+    # window and exercises the same cooldown kernel; likewise
+    # scalar_datetime_parse and join_semi_recent, both simple stable
+    # single-op shapes holding r03 driver greens re-verified by the
+    # local gate every session)
     "alerts_eval",
     "clean_main_content",
     "corpus_chunk_windows",
@@ -74,10 +82,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_embedding_cosine",
     "enrich_entities_regex",
     "filter_decontaminate",
-    "join_semi_recent",
     "pipeline_pretrain_corpus",
     "pipeline_training_data",
-    "scalar_datetime_parse",
     "scalar_html_extract",
     "search_bm25",
     "search_rank",

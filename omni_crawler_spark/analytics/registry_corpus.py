@@ -1007,3 +1007,79 @@ def corpus_mix_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# 60-bit md5-derived split key, the cross-engine signature recipe:
+# DuckDB CAST('0x'||substr(md5(x),1,15) AS BIGINT) == Spark
+# conv(substring(md5(x),1,15),16,10).cast('long'); 15 hex digits keep
+# the value positive in both engines so % 100 agrees with no pmod
+# gymnastics. The "split:" salt decouples this hash from every other
+# md5-of-doc use in the registry (fingerprints, sampling), so
+# changing one assignment universe can never silently shift another.
+_SPLIT_SALT = "split:"
+
+
+@register(
+    "corpus_train_val_split",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars, lang,
+             CAST('0x' || substr(
+               md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100 AS r
+      FROM documents
+    )
+    SELECT CASE WHEN r < 90 THEN 'train'
+                WHEN r < 95 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM assigned GROUP BY 1 ORDER BY 1
+    """,
+    doc="deterministic 90/5/5 train-val-test split by salted content "
+    "hash — the assignment step every training corpus needs before "
+    "packing. Hash-based (not row_number/rand) so it is STABLE under "
+    "corpus growth: adding documents never reassigns an existing "
+    "doc's split, which is what keeps eval sets uncontaminated "
+    "across corpus refreshes; deterministic across engines, runs, "
+    "and partitionings via the md5→60-bit recipe. Reports per-split "
+    "doc/char/lang coverage so a skewed split is visible at a "
+    "glance. 100 TB shape: pure map-side expression + one 3-group "
+    "aggregate — the split column costs nothing and pushes into any "
+    "consumer's scan",
+)
+def corpus_train_val_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SPLIT_SALT),
+                               F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(r < 90, F.lit("train"))
+        .when(r < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

@@ -392,3 +392,218 @@ def multimodal_phash_dedup(spark, sf_dir):
         max_hamming=8,
     )
     return ordered_small(pairs, "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-paired training-layout queries over the image METADATA (the
+# same documents-derived table _MM_META_SQL both engines share):
+# aspect-ratio bucketing and byte-budget shard packing — the two
+# layout decisions an image+caption training pipeline makes after
+# dedup/validation and before any pixel touches the loader.
+# ---------------------------------------------------------------------------
+
+# (b_idx, bucket, num, den, mult) — nearest-aspect ladder as RATIONAL
+# pairs; mult = lcm(dens)/den = 12/den, so the argmin compares the
+# all-integer cost |w*den - h*num| * mult across buckets with no
+# division and no float drift (the h factor cancels identically in
+# every pairwise comparison).
+_ASPECT_LADDER = [
+    (0, "1:2", 1, 2, 6),
+    (1, "3:4", 3, 4, 3),
+    (2, "1:1", 1, 1, 12),
+    (3, "4:3", 4, 3, 4),
+    (4, "2:1", 2, 1, 12),
+]
+
+_MM_VALID_SQL = """
+      SELECT * FROM meta
+      WHERE w BETWEEN 32 AND 8192 AND h BETWEEN 32 AND 8192
+        AND fmt IN ('png', 'jpeg')
+"""
+
+
+def _mm_valid(spark, sf_dir):
+    """Spark twin of _MM_META_SQL restricted by the validation
+    predicate (the same bounds pipeline_multimodal_counts checks)."""
+    d = _t(spark, sf_dir, "documents")
+    meta = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.when(F.col("doc_id") % 37 == 0, 0)
+        .otherwise(32 + (F.col("doc_id") % 13) * 16)
+        .alias("w"),
+        F.when(F.col("doc_id") % 41 == 0, 20000)
+        .otherwise(32 + (F.col("doc_id") % 11) * 16)
+        .alias("h"),
+        F.when(F.col("doc_id") % 29 == 0, F.lit("tiff"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("jpeg"))
+        .alias("fmt"),
+    )
+    return meta.filter(
+        F.col("w").between(32, 8192)
+        & F.col("h").between(32, 8192)
+        & F.col("fmt").isin("png", "jpeg")
+    )
+
+
+@register(
+    "multimodal_aspect_buckets",
+    f"""
+    WITH meta AS ({_MM_META_SQL}),
+    valid AS ({_MM_VALID_SQL}),
+    ladder(b_idx, bucket, num, den, mult) AS (
+      VALUES {", ".join(f"({i}, '{n}', {p}, {q}, {m})"
+                        for i, n, p, q, m in _ASPECT_LADDER)}
+    ),
+    cand AS (
+      SELECT v.image_id, v.w, v.h, v.fmt, l.b_idx, l.bucket,
+             abs(v.w * l.den - v.h * l.num) * l.mult AS cost
+      FROM valid v CROSS JOIN ladder l
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY image_id ORDER BY cost, b_idx) AS rn
+      FROM cand
+    )
+    SELECT b_idx, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) FILTER (fmt = 'png') AS BIGINT) AS n_png,
+           CAST(SUM(w * h) AS BIGINT) AS sum_pixels
+    FROM best WHERE rn = 1
+    GROUP BY b_idx, bucket ORDER BY b_idx
+    """,
+    doc="aspect-ratio bucketing for batched image training (the "
+    "SDXL-style layout step: batches must share an aspect bucket, so "
+    "every validated image is assigned its NEAREST ratio from a fixed "
+    "ladder 1:2 / 3:4 / 1:1 / 4:3 / 2:1). Nearest-ratio is computed "
+    "with integer cross-multiplication (|w*den - h*num| * lcm/den — "
+    "the h factor cancels in every comparison), so the assignment is "
+    "exact in both engines. The Spark side evaluates the 5-entry "
+    "ladder as a sort_array-of-structs expression — pure per-row "
+    "codegen, ZERO extra shuffle (the oracle uses the equivalent "
+    "windowed argmin); the only shuffle is the final 5-group "
+    "aggregate. 100 TB shape: map-side scan + one tiny groupBy — the "
+    "ladder never leaves the expression, nothing explodes rows",
+)
+def multimodal_aspect_buckets(spark, sf_dir):
+    valid = _mm_valid(spark, sf_dir)
+    entries = [
+        F.struct(
+            (F.abs(F.col("w") * den - F.col("h") * num) * mult)
+            .cast("long")
+            .alias("cost"),
+            F.lit(i).alias("b_idx"),
+            F.lit(name).alias("bucket"),
+        )
+        for i, name, num, den, mult in _ASPECT_LADDER
+    ]
+    best = F.sort_array(F.array(*entries))[0]
+    assigned = valid.select(
+        "image_id", "w", "h", "fmt",
+        best["b_idx"].alias("b_idx"),
+        best["bucket"].alias("bucket"),
+    )
+    return (
+        assigned.groupBy("b_idx", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum((F.col("fmt") == "png").cast("int"))
+            .cast("long")
+            .alias("n_png"),
+            F.sum(F.col("w").cast("long") * F.col("h"))
+            .cast("long")
+            .alias("sum_pixels"),
+        )
+        .orderBy("b_idx")
+    )
+
+
+_WDS_SHARD_CAP = 1 << 20  # 1 MiB of estimated decoded payload per shard
+_WDS_BUCKET_W = 64  # image_ids per prefix-sum bucket (two-level scan)
+
+
+@register(
+    "multimodal_wds_shards",
+    f"""
+    WITH meta AS ({_MM_META_SQL}),
+    valid AS ({_MM_VALID_SQL}),
+    sized AS (
+      SELECT image_id, CAST(w * h * 3 AS BIGINT) AS est_bytes FROM valid
+    ),
+    offs AS (
+      SELECT image_id, est_bytes,
+             CAST(COALESCE(SUM(est_bytes) OVER (
+               ORDER BY image_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM sized
+    )
+    SELECT CAST(cum_before // {_WDS_SHARD_CAP} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(est_bytes) AS BIGINT) AS shard_bytes,
+           MIN(image_id) AS first_id,
+           MAX(image_id) AS last_id
+    FROM offs GROUP BY 1 ORDER BY 1
+    """,
+    doc="WebDataset-style shard manifest: validated image+caption "
+    "records packed in image_id order into shards capped at 1 MiB of "
+    "estimated decoded payload (w*h*3), the layout step before "
+    "writing tar shards for a training loader. Policy is "
+    "shard_id = floor(preceding_bytes / cap) — items never straddle "
+    "a shard and each shard overflows by at most one item, the "
+    "standard streaming-pack tradeoff. All-integer, so the oracle is "
+    "exact. 100 TB shape: reuses corpus_pack_sequences' TWO-LEVEL "
+    "prefix sum (per-64-id-bucket partials, window over #buckets "
+    "rows, broadcast bases + within-bucket cumsum) — no stage "
+    "windows over more than O(corpus/#buckets) rows; the oracle's "
+    "single global window is the sequential ground truth",
+)
+def multimodal_wds_shards(spark, sf_dir):
+    from pyspark.sql import Window
+
+    sized = _mm_valid(spark, sf_dir).select(
+        "image_id",
+        (F.col("w").cast("long") * F.col("h") * 3).alias("est_bytes"),
+        (F.col("image_id") / _WDS_BUCKET_W).cast("long").alias("bucket"),
+    )
+    bases = (
+        sized.groupBy("bucket")
+        .agg(F.sum("est_bytes").alias("bucket_bytes"))
+        .withColumn(
+            "bucket_base",
+            F.coalesce(
+                F.sum("bucket_bytes").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "bucket_base")
+    )
+    within = F.coalesce(
+        F.sum("est_bytes").over(
+            Window.partitionBy("bucket")
+            .orderBy("image_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offs = sized.join(F.broadcast(bases), "bucket").withColumn(
+        "cum_before", F.col("bucket_base") + within
+    )
+    return (
+        offs.groupBy(
+            (F.col("cum_before") / _WDS_SHARD_CAP)
+            .cast("long")
+            .alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("est_bytes").alias("shard_bytes"),
+            F.min("image_id").alias("first_id"),
+            F.max("image_id").alias("last_id"),
+        )
+        .orderBy("shard_id")
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from pyspark.sql import functions as F
+
 from omni_crawler_spark.analytics import REGISTRY
 from omni_crawler_spark.analytics.tables import TABLE_NAMES
 
@@ -87,3 +89,78 @@ def test_budget_allocate_waterfill_invariants(spark, sf_dir):
         for r in rows:
             if r.status == "full":
                 assert r.pending <= max(throttled) + 1
+
+
+def test_aspect_buckets_partition_and_nearest(spark, sf_dir):
+    """Every validated image lands in exactly one bucket, and the
+    integer cross-multiplied argmin really picks the NEAREST ratio:
+    square images must all be 1:1 (cost 0), and the per-bucket
+    totals must partition the valid set."""
+    from omni_crawler_spark.analytics.registry_multimodal import _mm_valid
+
+    rows = REGISTRY["multimodal_aspect_buckets"].build(
+        spark, sf_dir).collect()
+    assert rows and [r.b_idx for r in rows] == sorted(r.b_idx for r in rows)
+    n_valid = _mm_valid(spark, sf_dir).count()
+    assert sum(r.n_images for r in rows) == n_valid
+    # spot-check nearest-ratio: w=h rows exist (w,h share the 32+16k
+    # grid) and every one of them costs 0 only at the 1:1 rung
+    sq = _mm_valid(spark, sf_dir).filter("w = h").count()
+    one_one = {r.bucket: r.n_images for r in rows}.get("1:1", 0)
+    assert sq > 0 and one_one >= sq
+
+
+def test_wds_shards_cap_and_coverage(spark, sf_dir):
+    """floor(cum_before/cap) packing: shards cover every validated
+    item exactly once, ids are contiguous ranges in shard order, and
+    no shard exceeds the cap by more than one item's payload."""
+    from omni_crawler_spark.analytics.registry_multimodal import (
+        _WDS_SHARD_CAP,
+        _mm_valid,
+    )
+
+    rows = sorted(
+        REGISTRY["multimodal_wds_shards"].build(spark, sf_dir).collect(),
+        key=lambda r: r.shard_id,
+    )
+    valid = _mm_valid(spark, sf_dir)
+    assert sum(r.n_items for r in rows) == valid.count()
+    max_item = (
+        valid.agg(F.max(F.col("w").cast("long") * F.col("h") * 3))
+        .first()[0]
+    )
+    for r in rows:
+        assert r.first_id <= r.last_id
+        assert r.shard_bytes <= _WDS_SHARD_CAP + max_item
+    # id ranges are disjoint and ordered with the shard ids
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_id < b.first_id
+
+
+def test_train_val_split_stable_under_growth(spark, sf_dir):
+    """The split is hash-of-doc_id, so restricting the corpus to any
+    subset must not change any doc's assignment — the property that
+    keeps eval sets uncontaminated across corpus refreshes. Also:
+    the three splits partition the corpus and train dominates."""
+    from omni_crawler_spark.analytics.registry import _t
+
+    rows = {r.split: r for r in REGISTRY["corpus_train_val_split"]
+            .build(spark, sf_dir).collect()}
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    assert rows["train"].n_docs > total // 2
+    # per-doc stability: assignment expression over the FULL corpus
+    # vs over a half-corpus view agrees on every shared doc
+    expr = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
+               F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100
+    ).alias("r")
+    full = {r.doc_id: r.r for r in d.select("doc_id", expr).collect()}
+    half = {
+        r.doc_id: r.r
+        for r in d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", expr).collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
