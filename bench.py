@@ -84,6 +84,9 @@ HEADLINE = [
     "multimodal_aspect_buckets",
     "multimodal_wds_shards",
     "corpus_train_val_split",
+    # URL-graph hygiene (round 5)
+    "crawl_trap_detect",
+    "crawl_redirect_resolve",
 ]
 
 DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))

@@ -57,6 +57,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_aspect_buckets",   # NEW oracle-paired training layout
     "multimodal_wds_shards",       # NEW oracle-paired shard manifest
     "corpus_train_val_split",      # NEW oracle-paired stable hash split
+    "crawl_trap_detect",           # NEW oracle-paired URL-trap filter
+    "crawl_redirect_resolve",      # NEW oracle-paired pointer jumping
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
@@ -86,7 +88,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "pipeline_training_data",
     "scalar_html_extract",
     "search_bm25",
-    "search_rank",
+    # (search_rank and window_history_trim rotated OUT for the two
+    # new crawl-hygiene queries — search dispatch stays covered by
+    # search_sorted_quality + search_fulltext in this window, and
+    # both hold r03 driver greens re-verified locally every session)
     "search_sorted_quality",
     "sim_topk_cosine",
     "source_rss_parse",
@@ -95,7 +100,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
     "validator_score",
-    "window_history_trim",
     "window_topk_salted",
     # round-4 greens that interact with this round's changes
     # (layout_partition_prune / graph_pagerank / dedup_minhash_verify /

@@ -164,3 +164,41 @@ def test_train_val_split_stable_under_growth(spark, sf_dir):
         .select("doc_id", expr).collect()
     }
     assert half and all(full[k] == v for k, v in half.items())
+
+
+def test_trap_detect_planted_verdicts(spark, sf_dir):
+    """Planted trap features are detected from the URL string with
+    the documented precedence: every %23 doc is trap_deep (11 extra
+    segments), %31-only docs are trap_repeat, %19-only are
+    trap_calendar, %37-only are trap_params, and an unplanted doc
+    is ok."""
+    rows = {r.doc_id: r for r in REGISTRY["crawl_trap_detect"]
+            .build(spark, sf_dir).collect()}
+    assert rows
+    for i, r in rows.items():
+        if i % 23 == 0:
+            assert r.verdict == "trap_deep", (i, r)
+        elif i % 31 == 0:
+            assert r.verdict == "trap_repeat", (i, r)
+        elif i % 19 == 0:
+            assert r.verdict == "trap_calendar", (i, r)
+        elif i % 37 == 0:
+            assert r.verdict == "trap_params", (i, r)
+        else:
+            assert r.verdict == "ok", (i, r)
+    # planted families all non-empty at this SF
+    seen = {r.verdict for r in rows.values()}
+    assert {"trap_deep", "trap_repeat", "trap_calendar",
+            "trap_params", "ok"} <= seen
+
+
+def test_redirect_resolve_closed_form(spark, sf_dir):
+    """Pointer jumping must agree with the closed form NEITHER engine
+    computes: doc n chains n -> n-1 -> ... -> n - n%7, so
+    terminal_id = n - n%7 and hops = n%7."""
+    rows = REGISTRY["crawl_redirect_resolve"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.terminal_id == r.doc_id - r.doc_id % 7, r
+        assert r.hops == r.doc_id % 7, r
+        assert r.status == ("terminal" if r.hops == 0 else "redirected")
