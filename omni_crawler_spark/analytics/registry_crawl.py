@@ -808,42 +808,15 @@ def crawl_trap_detect(spark, sf_dir):
         .when(doc_id % 3 == 0, F.lit("?a=1&b=2"))
         .otherwise(F.lit("")),
     )
-    f = d.select("doc_id", url.alias("url"))
-    segs = F.filter(
-        F.split(F.regexp_extract("url", "^https://[^/?]+([^?]*)", 1), "/"),
-        lambda x: x != "",
-    )
-    n_params = (
-        F.size(F.split("url", "&")) - 1
-        + F.when(F.col("url").contains("?"), 1).otherwise(0)
-    ).cast("long")
-    feat = f.select(
-        "doc_id", "url",
-        n_params.alias("n_params"),
-        F.size(segs).cast("long").alias("path_depth"),
-        F.coalesce(
-            F.array_max(
-                F.transform(
-                    segs,
-                    lambda x: F.size(F.filter(segs, lambda y: y == x)),
-                )
-            ),
-            F.lit(0),
-        ).cast("long").alias("max_seg_count"),
-        F.col("url").rlike("/20[0-9][0-9]/[0-9][0-9]/[0-9][0-9]")
-        .alias("has_calendar"),
-    )
-    verdict = (
-        F.when(F.col("path_depth") >= 8, F.lit("trap_deep"))
-        .when(F.col("max_seg_count") >= 3, F.lit("trap_repeat"))
-        .when(F.col("has_calendar"), F.lit("trap_calendar"))
-        .when(F.col("n_params") >= 8, F.lit("trap_params"))
-        .otherwise(F.lit("ok"))
-    )
+    sig = U.trap_signals(F.col("url"))
     return ordered_small(
-        feat.select(
-            "doc_id", "url", "path_depth", "max_seg_count", "n_params",
-            verdict.alias("verdict"),
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id", "url",
+            sig["path_depth"].alias("path_depth"),
+            sig["max_seg_count"].alias("max_seg_count"),
+            sig["n_params"].alias("n_params"),
+            sig["verdict"].alias("verdict"),
         ),
         "doc_id",
     )

@@ -67,12 +67,20 @@ class CrawlEngine:
         maintain_index: bool = False,
         frontier_compact_every: int = 8,
         retention_keep_last: int | None = None,
+        trap_filter: bool = False,
     ):
         self.warehouse = warehouse
         self.num_buckets = num_buckets
         self.cycle_budget_ms = cycle_budget_ms
         self.maintain_articles = maintain_articles
         self.maintain_index = maintain_index
+        # opt-in URL-trap admission gate (functions/urls.trap_signals
+        # — the same policy the oracle-paired crawl_trap_detect query
+        # verifies): when enabled, seeds and discovered links whose
+        # verdict is not 'ok' never enter the frontier. Off by
+        # default to preserve byte-parity with the reference
+        # simulator, which has no trap defense beyond its depth cap.
+        self.trap_filter = trap_filter
         # frontier commits are O(delta) appends of each cycle's
         # discoveries; every Nth cycle rewrites the resolved live set
         # to bound the log scan. 1 = compact every cycle (the round-2
@@ -142,6 +150,16 @@ class CrawlEngine:
             }
         )
 
+    def _admit(self, rows: DataFrame) -> DataFrame:
+        """Frontier admission gate: drop trap-verdict URLs when
+        ``trap_filter`` is on (a pure column predicate — pushes into
+        whatever scan feeds the rows); identity otherwise."""
+        if not self.trap_filter:
+            return rows
+        return rows.filter(
+            U.trap_signals(F.col("url_canonical"))["verdict"] == "ok"
+        )
+
     def bootstrap(self, seeds: DataFrame, hosts: DataFrame) -> None:
         """Seed the frontier: canonicalize, hash, host-split. A hosts
         dim carrying raw ``robots_txt`` also contributes its
@@ -149,7 +167,9 @@ class CrawlEngine:
         find most sitemaps — RFC 9309 §2.3; the reference parses
         sitemap XML, url_discovery_engine.py:58-89, but never reads
         the robots pointer). Idempotent."""
-        self.frontier.append(self._prepare_seeds(seeds), op_id="bootstrap")
+        self.frontier.append(
+            self._admit(self._prepare_seeds(seeds)), op_id="bootstrap"
+        )
         self.hosts.overwrite(hosts, op_id="bootstrap-hosts")
         self._seed_robots_sitemaps(hosts)
 
@@ -178,12 +198,14 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("title"),
         )
         self.frontier.append(
-            self._prepare_seeds(sm), op_id="bootstrap-sitemaps"
+            self._admit(self._prepare_seeds(sm)), op_id="bootstrap-sitemaps"
         )
 
     def add_seeds(self, seeds: DataFrame, op_id: str) -> None:
         """Append more discovery seeds mid-crawl (idempotent)."""
-        self.frontier.append(self._prepare_seeds(seeds), op_id=op_id)
+        self.frontier.append(
+            self._admit(self._prepare_seeds(seeds)), op_id=op_id
+        )
 
     # ------------------------------------------------------------------ cycle
 
@@ -337,8 +359,10 @@ class CrawlEngine:
             )
         )
         # discovered links: deterministic discovery_ts (pure function of
-        # cycle) so scheduling order is reproducible; tie-break is the url
-        discovered = (
+        # cycle) so scheduling order is reproducible; tie-break is the
+        # url. Trap admission (when enabled) is part of this map-side
+        # chain — rejected links cost one predicate, never a frontier row.
+        discovered = self._admit(
             fetched_now.select(F.explode("links").alias("url"))
             .withColumn("url_canonical", U.canonicalize_url(F.col("url")))
             .withColumns(

@@ -109,3 +109,53 @@ def seen_bucket(hash64: Column, num_buckets: int) -> Column:
     """Stable bucket id in [0, num_buckets) for partitioning the
     seen-set and its bloom filters. ``pmod`` keeps negatives positive."""
     return F.pmod(hash64, F.lit(num_buckets)).cast("int")
+
+
+def trap_signals(url: Column) -> Column:
+    """Crawl-trap admission signals from the URL string alone, as a
+    struct (path_depth, max_seg_count, n_params, has_calendar,
+    verdict) — the four heuristics that keep infinite URL spaces
+    (auto-generated deep trees, cyclic path repeats, calendar pages,
+    parameter explosions) out of a 10^10-URL frontier. Thresholds:
+    depth >= 8, any segment >= 3 times, /YYYY/MM/DD tail, >= 8 query
+    params; verdict precedence deep > repeat > calendar > params.
+
+    Pure column expressions (array higher-order functions — segment
+    multiplicity cannot be a regex, RE2 has no backreferences), zero
+    shuffle, O(segments^2) per row with segments <= 16. Shared by the
+    oracle-paired ``crawl_trap_detect`` query and CrawlEngine's
+    opt-in ``trap_filter`` admission gate so both enforce the same
+    policy. The reference's only trap defense is its BFS depth cap
+    (url_discovery_engine.py:28)."""
+    segs = F.filter(
+        F.split(F.regexp_extract(url, "^https?://[^/?]+([^?]*)", 1), "/"),
+        lambda x: x != "",
+    )
+    path_depth = F.size(segs).cast("long")
+    max_seg_count = F.coalesce(
+        F.array_max(
+            F.transform(
+                segs, lambda x: F.size(F.filter(segs, lambda y: y == x))
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+    n_params = (
+        F.size(F.split(url, "&")) - 1
+        + F.when(url.contains("?"), 1).otherwise(0)
+    ).cast("long")
+    has_calendar = url.rlike("/20[0-9][0-9]/[0-9][0-9]/[0-9][0-9]")
+    verdict = (
+        F.when(path_depth >= 8, F.lit("trap_deep"))
+        .when(max_seg_count >= 3, F.lit("trap_repeat"))
+        .when(has_calendar, F.lit("trap_calendar"))
+        .when(n_params >= 8, F.lit("trap_params"))
+        .otherwise(F.lit("ok"))
+    )
+    return F.struct(
+        path_depth.alias("path_depth"),
+        max_seg_count.alias("max_seg_count"),
+        n_params.alias("n_params"),
+        has_calendar.alias("has_calendar"),
+        verdict.alias("verdict"),
+    )

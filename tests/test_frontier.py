@@ -583,3 +583,47 @@ def test_bootstrap_sitemap_seeding_idempotent(spark, tmp_path):
         F.col("source") == "sitemap-robots"
     )
     assert sm.count() == 50  # one seed per host, exactly once
+
+
+def test_trap_filter_gates_frontier_admission(spark, tmp_path):
+    """Opt-in trap admission: seeds and mid-crawl additions whose URL
+    carries a trap signature (deep path / segment repeat / calendar
+    tail / param explosion) never enter the frontier; the default
+    engine admits them unchanged (byte-parity preserved)."""
+    from pyspark.sql import functions as F
+
+    trap_urls = [
+        "https://h0.example.com/a/b/c/d/e/f/g/h/i/j",        # deep
+        "https://h0.example.com/page/page/page/x",            # repeat
+        "https://h0.example.com/blog/2024/05/17",             # calendar
+        "https://h0.example.com/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8",
+    ]
+    ok_urls = [
+        "https://h0.example.com/sec1/article-1",
+        "https://h0.example.com/sec2/article-2?a=1&b=2",
+    ]
+    seeds = spark.createDataFrame(
+        [(u, 5, "rss", "2025-01-01 00:00:00", None)
+         for u in trap_urls + ok_urls],
+        "url string, priority int, source string, "
+        "discovery_ts string, title string",
+    ).withColumn("discovery_ts", F.to_timestamp("discovery_ts"))
+    hosts = generate_hosts(spark)
+
+    gated = CrawlEngine(str(tmp_path / "gated"), trap_filter=True)
+    gated.bootstrap(seeds, hosts)
+    admitted = {
+        r.url_canonical for r in gated.frontier.read(spark).collect()
+    }
+    assert admitted == {
+        "https://h0.example.com/sec1/article-1",
+        "https://h0.example.com/sec2/article-2?a=1&b=2",
+    }
+    # mid-crawl additions run through the same gate, idempotently
+    gated.add_seeds(seeds, op_id="more")
+    gated.add_seeds(seeds, op_id="more")
+    assert gated.frontier.read(spark).count() == 2 * len(ok_urls)
+
+    plain = CrawlEngine(str(tmp_path / "plain"))
+    plain.bootstrap(seeds, hosts)
+    assert plain.frontier.read(spark).count() == len(trap_urls) + len(ok_urls)
