@@ -142,6 +142,59 @@ def ordered_small(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    bucket_w: int = 64,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """Distributed exclusive prefix sum of ``value_col`` in ``id_col``
+    order, appended as ``out_col`` — the classic TWO-LEVEL scan: a
+    global window cumsum would serialize the corpus onto one
+    partition, so level 1 aggregates per-``bucket_w``-id-range partial
+    sums and windows over the #buckets-row table only (one row per
+    range at any scale), then broadcasts the exclusive bucket bases
+    back for a within-bucket window cumsum that parallelizes across
+    buckets. No stage touches more than O(rows/#buckets) rows per
+    task. Shared by corpus_pack_sequences (token-stream offsets) and
+    multimodal_wds_shards (shard byte offsets)."""
+    from pyspark.sql import Window
+
+    withb = df.withColumn(
+        "_psum_bucket", (F.col(id_col) / bucket_w).cast("long")
+    )
+    bases = (
+        withb.groupBy("_psum_bucket")
+        .agg(F.sum(value_col).alias("_bt"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.orderBy("_psum_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_psum_bucket", "_base")
+    )
+    within = F.coalesce(
+        F.sum(value_col).over(
+            Window.partitionBy("_psum_bucket")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        withb.join(F.broadcast(bases), "_psum_bucket")
+        .withColumn(out_col, F.col("_base") + within)
+        .drop("_psum_bucket", "_base")
+    )
+
+
 def davg_int(col, n=4):
     """Exact cross-engine average of an integral column."""
     return F.round(F.sum(col).cast("double") / F.count(F.lit(1)), n)

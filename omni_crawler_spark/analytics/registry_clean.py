@@ -37,11 +37,11 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from omni_crawler_spark.analytics.registry import (
     _t,
+    exclusive_prefix_sum,
     ordered_small,
     register,
 )
@@ -403,39 +403,9 @@ def corpus_pack_sequences(spark, sf_dir):
     toks = d.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / _PACK_BUCKET_W).cast("long").alias("bucket"),
     )
-    # level 1: per-bucket totals -> exclusive bucket base offsets.
-    # The window runs over #buckets rows (corpus/64 at sandbox scale,
-    # one row per range at any scale) — never over the corpus.
-    bases = (
-        toks.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_tokens"))
-        .withColumn(
-            "bucket_base",
-            F.coalesce(
-                F.sum("bucket_tokens").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "bucket_base")
-    )
-    # level 2: within-bucket exclusive cumsum, parallel across buckets
-    within = F.coalesce(
-        F.sum("n_tokens").over(
-            Window.partitionBy("bucket")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
-    offs = (
-        toks.join(F.broadcast(bases), "bucket")
-        .withColumn("start_off", (F.col("bucket_base") + within))
+    offs = exclusive_prefix_sum(
+        toks, "doc_id", "n_tokens", _PACK_BUCKET_W, out_col="start_off"
     )
     first_seq = (F.col("start_off") / _SEQ_LEN).cast("long")
     last_seq = (

@@ -1023,6 +1023,32 @@ def corpus_mix_weights(spark, sf_dir):
 _SPLIT_SALT = "split:"
 
 
+def split_assignment(d):
+    """Per-doc split assignment column set (doc_id, split) — the ONE
+    implementation both the aggregate query and the stability pytest
+    use: the test compares these assignments over the full corpus vs
+    a subset, which is only a real guard because the query aggregates
+    THIS function's output (a rewrite to row_number/rand here breaks
+    the subset-invariance the test pins)."""
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SPLIT_SALT),
+                               F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(r < 90, F.lit("train"))
+        .when(r < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.withColumn("split", split)
+
+
 @register(
     "corpus_train_val_split",
     f"""
@@ -1055,25 +1081,9 @@ _SPLIT_SALT = "split:"
     "consumer's scan",
 )
 def corpus_train_val_split(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    r = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(_SPLIT_SALT),
-                               F.col("doc_id").cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(r < 90, F.lit("train"))
-        .when(r < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    d = split_assignment(_t(spark, sf_dir, "documents"))
     return (
-        d.groupBy(split.alias("split"))
+        d.groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),

@@ -742,8 +742,8 @@ _TRAP_URL_SQL = """
              list_filter(string_split(
                regexp_extract(url, '^https://[^/?]+([^?]*)', 1), '/'),
                x -> x <> '') AS segs,
-             CAST(len(string_split(url, '&')) - 1
-                  + CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END
+             CAST(len(list_filter(string_split(
+               regexp_extract(url, '\\?(.*)$', 1), '&'), x -> x <> ''))
                AS BIGINT) AS n_params
       FROM f
     ),

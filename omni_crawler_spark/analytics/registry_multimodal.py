@@ -146,6 +146,32 @@ _MM_META_SQL = """
 """
 
 
+def _mm_meta(d):
+    """The ONE Spark twin of ``_MM_META_SQL`` (planted-invalid dims at
+    doc_id %37/%41/%29, arithmetic w/h grid, md5-derived 60-bit
+    phash). Every Spark-side consumer of the shared image-metadata
+    table goes through here so the plant moduli / grids can never
+    drift between queries (the SQL side has the same single source:
+    the _MM_META_SQL literal every oracle embeds)."""
+    doc_id = F.col("doc_id")
+    return d.select(
+        doc_id.alias("image_id"),
+        F.when(doc_id % 37 == 0, 0)
+        .otherwise(32 + (doc_id % 13) * 16)
+        .alias("w"),
+        F.when(doc_id % 41 == 0, 20000)
+        .otherwise(32 + (doc_id % 11) * 16)
+        .alias("h"),
+        F.when(doc_id % 29 == 0, F.lit("tiff"))
+        .when(doc_id % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("jpeg"))
+        .alias("fmt"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+
+
 @register(
     "pipeline_multimodal_counts",
     f"""
@@ -195,23 +221,7 @@ _MM_META_SQL = """
 def pipeline_multimodal_counts(spark, sf_dir):
     from omni_crawler_spark.operators import dedup as D
 
-    d = _t(spark, sf_dir, "documents")
-    meta0 = d.select(
-        F.col("doc_id").alias("image_id"),
-        F.when(F.col("doc_id") % 37 == 0, 0)
-        .otherwise(32 + (F.col("doc_id") % 13) * 16)
-        .alias("w"),
-        F.when(F.col("doc_id") % 41 == 0, 20000)
-        .otherwise(32 + (F.col("doc_id") % 11) * 16)
-        .alias("h"),
-        F.when(F.col("doc_id") % 29 == 0, F.lit("tiff"))
-        .when(F.col("doc_id") % 2 == 0, F.lit("png"))
-        .otherwise(F.lit("jpeg"))
-        .alias("fmt"),
-        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("phash"),
-    )
+    meta0 = _mm_meta(_t(spark, sf_dir, "documents"))
     copies = meta0.filter(F.col("image_id") < 7).select(
         (F.col("image_id") + 100000).alias("image_id"),
         "w", "h", "fmt",
@@ -425,21 +435,7 @@ _MM_VALID_SQL = """
 def _mm_valid(spark, sf_dir):
     """Spark twin of _MM_META_SQL restricted by the validation
     predicate (the same bounds pipeline_multimodal_counts checks)."""
-    d = _t(spark, sf_dir, "documents")
-    meta = d.select(
-        F.col("doc_id").alias("image_id"),
-        F.when(F.col("doc_id") % 37 == 0, 0)
-        .otherwise(32 + (F.col("doc_id") % 13) * 16)
-        .alias("w"),
-        F.when(F.col("doc_id") % 41 == 0, 20000)
-        .otherwise(32 + (F.col("doc_id") % 11) * 16)
-        .alias("h"),
-        F.when(F.col("doc_id") % 29 == 0, F.lit("tiff"))
-        .when(F.col("doc_id") % 2 == 0, F.lit("png"))
-        .otherwise(F.lit("jpeg"))
-        .alias("fmt"),
-    )
-    return meta.filter(
+    return _mm_meta(_t(spark, sf_dir, "documents")).filter(
         F.col("w").between(32, 8192)
         & F.col("h").between(32, 8192)
         & F.col("fmt").isin("png", "jpeg")
@@ -559,39 +555,14 @@ _WDS_BUCKET_W = 64  # image_ids per prefix-sum bucket (two-level scan)
     "single global window is the sequential ground truth",
 )
 def multimodal_wds_shards(spark, sf_dir):
-    from pyspark.sql import Window
+    from omni_crawler_spark.analytics.registry import exclusive_prefix_sum
 
     sized = _mm_valid(spark, sf_dir).select(
         "image_id",
         (F.col("w").cast("long") * F.col("h") * 3).alias("est_bytes"),
-        (F.col("image_id") / _WDS_BUCKET_W).cast("long").alias("bucket"),
     )
-    bases = (
-        sized.groupBy("bucket")
-        .agg(F.sum("est_bytes").alias("bucket_bytes"))
-        .withColumn(
-            "bucket_base",
-            F.coalesce(
-                F.sum("bucket_bytes").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "bucket_base")
-    )
-    within = F.coalesce(
-        F.sum("est_bytes").over(
-            Window.partitionBy("bucket")
-            .orderBy("image_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
-    offs = sized.join(F.broadcast(bases), "bucket").withColumn(
-        "cum_before", F.col("bucket_base") + within
+    offs = exclusive_prefix_sum(
+        sized, "image_id", "est_bytes", _WDS_BUCKET_W
     )
     return (
         offs.groupBy(

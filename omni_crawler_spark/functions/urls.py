@@ -140,9 +140,12 @@ def trap_signals(url: Column) -> Column:
         ),
         F.lit(0),
     ).cast("long")
-    n_params = (
-        F.size(F.split(url, "&")) - 1
-        + F.when(url.contains("?"), 1).otherwise(0)
+    # params are counted in the QUERY STRING only — '&' is legal in
+    # path segments, and counting it there would reject legitimate
+    # URLs once this predicate gates frontier admission
+    query = F.regexp_extract(url, "\\?(.*)$", 1)
+    n_params = F.size(
+        F.filter(F.split(query, "&"), lambda x: x != "")
     ).cast("long")
     has_calendar = url.rlike("/20[0-9][0-9]/[0-9][0-9]/[0-9][0-9]")
     verdict = (

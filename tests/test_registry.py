@@ -144,26 +144,39 @@ def test_train_val_split_stable_under_growth(spark, sf_dir):
     the three splits partition the corpus and train dominates."""
     from omni_crawler_spark.analytics.registry import _t
 
+    from omni_crawler_spark.analytics.registry_corpus import (
+        split_assignment,
+    )
+
     rows = {r.split: r for r in REGISTRY["corpus_train_val_split"]
             .build(spark, sf_dir).collect()}
     d = _t(spark, sf_dir, "documents")
     total = d.count()
     assert sum(r.n_docs for r in rows.values()) == total
     assert rows["train"].n_docs > total // 2
-    # per-doc stability: assignment expression over the FULL corpus
-    # vs over a half-corpus view agrees on every shared doc
-    expr = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("split:"),
-               F.col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long") % 100
-    ).alias("r")
-    full = {r.doc_id: r.r for r in d.select("doc_id", expr).collect()}
+    # per-doc stability THROUGH THE QUERY'S OWN assignment function
+    # (corpus_train_val_split aggregates split_assignment's output):
+    # assignments over the full corpus vs a half-corpus view must
+    # agree on every shared doc — a rewrite of split_assignment to
+    # row_number()/rand() breaks this, which is the regression the
+    # test exists to catch
+    full = {
+        r.doc_id: r.split
+        for r in split_assignment(d).select("doc_id", "split").collect()
+    }
     half = {
-        r.doc_id: r.r
-        for r in d.filter(F.col("doc_id") % 2 == 0)
-        .select("doc_id", expr).collect()
+        r.doc_id: r.split
+        for r in split_assignment(d.filter(F.col("doc_id") % 2 == 0))
+        .select("doc_id", "split").collect()
     }
     assert half and all(full[k] == v for k, v in half.items())
+    # and the aggregate the query reports is the aggregate of those
+    # per-doc assignments
+    from collections import Counter
+
+    assert Counter(full.values()) == {
+        s: r.n_docs for s, r in rows.items()
+    }
 
 
 def test_trap_detect_planted_verdicts(spark, sf_dir):
@@ -176,7 +189,17 @@ def test_trap_detect_planted_verdicts(spark, sf_dir):
             .build(spark, sf_dir).collect()}
     assert rows
     for i, r in rows.items():
-        if i % 23 == 0:
+        # expected DEPTH mirrors the construction (base /secN/article-N
+        # = 2 segments plus each plant's), so composite plants (e.g.
+        # doc_id % (19*31) == 0: repeat + calendar pushes depth to 9)
+        # are expected under the detector's deep-first precedence
+        depth = (
+            2
+            + (11 if i % 23 == 0 else 0)
+            + (4 if i % 31 == 0 else 0)
+            + (3 if i % 19 == 0 else 0)
+        )
+        if depth >= 8:
             assert r.verdict == "trap_deep", (i, r)
         elif i % 31 == 0:
             assert r.verdict == "trap_repeat", (i, r)
