@@ -87,6 +87,7 @@ HEADLINE = [
     # URL-graph hygiene (round 5)
     "crawl_trap_detect",
     "crawl_redirect_resolve",
+    "multimodal_caption_filter",
 ]
 
 DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))

@@ -59,6 +59,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_train_val_split",      # NEW oracle-paired stable hash split
     "crawl_trap_detect",           # NEW oracle-paired URL-trap filter
     "crawl_redirect_resolve",      # NEW oracle-paired pointer jumping
+    "multimodal_caption_filter",   # NEW oracle-paired caption gate
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
@@ -78,7 +79,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "alerts_eval",
     "clean_main_content",
     "corpus_chunk_windows",
-    "corpus_quantiles",
+    # (corpus_quantiles rotated OUT for multimodal_caption_filter —
+    # stable r03-green single-aggregation shape, locally re-verified
+    # every session)
     "dedup_cluster_cc",
     "dedup_cluster_cc_star",
     "dedup_embedding_cosine",

@@ -578,3 +578,94 @@ def multimodal_wds_shards(spark, sf_dir):
         )
         .orderBy("shard_id")
     )
+
+
+# caption derivation shared by both engines: a doc_id-length prefix of
+# the document text, with planted boilerplate alt-text on every 11th
+# image (the "stock photo" problem: web alt-text repeats across
+# thousands of images and must be dropped before caption training)
+_MM_CAPTION_SQL = """
+    SELECT doc_id AS image_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'stock photo'
+                ELSE array_to_string(
+                  list_slice(string_split(text, ' '), 1, 1 + doc_id % 30),
+                  ' ') END AS caption
+    FROM documents
+"""
+
+_CAPTION_HOT = 5  # a caption shared by >= this many images is boilerplate
+_CAPTION_MIN_W, _CAPTION_MAX_W = 3, 24
+
+
+@register(
+    "multimodal_caption_filter",
+    f"""
+    WITH caps AS ({_MM_CAPTION_SQL}),
+    hot AS (
+      SELECT caption FROM caps
+      GROUP BY caption HAVING COUNT(*) >= {_CAPTION_HOT}
+    ),
+    feat AS (
+      SELECT image_id, caption,
+             CAST(len(list_filter(string_split(caption, ' '),
+               x -> x <> '')) AS BIGINT) AS n_words,
+             caption IN (SELECT caption FROM hot) AS is_hot
+      FROM caps
+    )
+    SELECT image_id, caption, n_words,
+           CASE WHEN is_hot THEN 'boilerplate'
+                WHEN n_words < {_CAPTION_MIN_W} THEN 'too_short'
+                WHEN n_words > {_CAPTION_MAX_W} THEN 'too_long'
+                ELSE 'ok' END AS verdict
+    FROM feat ORDER BY image_id
+    """,
+    doc="caption quality filter for image+caption training (the CLIP-"
+    "style gate): drop BOILERPLATE captions (alt-text shared by >= "
+    f"{_CAPTION_HOT} images — repeated 'stock photo' strings carry no "
+    "learnable signal and over-weight their images), then word-count "
+    f"bounds [{_CAPTION_MIN_W}, {_CAPTION_MAX_W}]; precedence "
+    "boilerplate > short > long. Verdicts are computed from the "
+    "caption STRING (word count re-derived, not trusted from "
+    "construction). 100 TB shape: one groupBy(caption) builds the "
+    "hot-caption dim, which is SMALL BY DEFINITION (only captions "
+    "repeating >= 5x survive the HAVING), so the verdict join "
+    "broadcasts it — corpus-sized rows never shuffle; the length "
+    "gates are map-side",
+)
+def multimodal_caption_filter(spark, sf_dir):
+    from omni_crawler_spark.analytics.registry import ordered_small
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    caption = F.when(doc_id % 11 == 0, F.lit("stock photo")).otherwise(
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, (1 + doc_id % 30)),
+            " ",
+        )
+    )
+    caps = d.select(doc_id.alias("image_id"), caption.alias("caption"))
+    hot = (
+        caps.groupBy("caption")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _CAPTION_HOT)
+        .select("caption", F.lit(True).alias("is_hot"))
+    )
+    n_words = F.size(
+        F.filter(F.split(F.col("caption"), " "), lambda x: x != "")
+    ).cast("long")
+    feat = caps.join(F.broadcast(hot), "caption", "left").select(
+        "image_id", "caption",
+        n_words.alias("n_words"),
+        F.coalesce(F.col("is_hot"), F.lit(False)).alias("is_hot"),
+    )
+    verdict = (
+        F.when(F.col("is_hot"), F.lit("boilerplate"))
+        .when(F.col("n_words") < _CAPTION_MIN_W, F.lit("too_short"))
+        .when(F.col("n_words") > _CAPTION_MAX_W, F.lit("too_long"))
+        .otherwise(F.lit("ok"))
+    )
+    return ordered_small(
+        feat.select("image_id", "caption", "n_words",
+                    verdict.alias("verdict")),
+        "image_id",
+    )
