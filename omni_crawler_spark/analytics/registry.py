@@ -153,11 +153,19 @@ def exclusive_prefix_sum(
     order, appended as ``out_col`` — the classic TWO-LEVEL scan: a
     global window cumsum would serialize the corpus onto one
     partition, so level 1 aggregates per-``bucket_w``-id-range partial
-    sums and windows over the #buckets-row table only (one row per
-    range at any scale), then broadcasts the exclusive bucket bases
-    back for a within-bucket window cumsum that parallelizes across
-    buckets. No stage touches more than O(rows/#buckets) rows per
-    task. Shared by corpus_pack_sequences (token-stream offsets) and
+    sums and windows over the #buckets-row table, then broadcasts the
+    exclusive bucket bases back for a within-bucket window cumsum that
+    parallelizes across buckets. Level 2 tasks are bounded by
+    ``bucket_w`` rows; level 1's single-partition window holds
+    rows/``bucket_w`` rows, so at real scale ``bucket_w`` must GROW
+    with the corpus (~sqrt(rows) balances the two levels; at 1e10
+    rows, bucket_w=1e5 keeps both under 1e5 rows/task) — the fixed
+    sandbox default of 64 only exercises the shape. Preconditions:
+    ``id_col`` values must be UNIQUE (the within-bucket orderBy has no
+    tie-break, so duplicate ids make the exclusive sum
+    order-dependent), and the input must not already contain columns
+    named ``_psum_bucket``/``_bt``/``_base``. Shared by
+    corpus_pack_sequences (token-stream offsets) and
     multimodal_wds_shards (shard byte offsets)."""
     from pyspark.sql import Window
 

@@ -627,10 +627,15 @@ _CAPTION_MIN_W, _CAPTION_MAX_W = 3, 24
     "boilerplate > short > long. Verdicts are computed from the "
     "caption STRING (word count re-derived, not trusted from "
     "construction). 100 TB shape: one groupBy(caption) builds the "
-    "hot-caption dim, which is SMALL BY DEFINITION (only captions "
-    "repeating >= 5x survive the HAVING), so the verdict join "
-    "broadcasts it — corpus-sized rows never shuffle; the length "
-    "gates are map-side",
+    "hot-caption dim — mostly-unique captions mean weak map-side "
+    "combine, so at web scale key that shuffle on xxhash64(caption) "
+    "(8-byte keys instead of strings) and verdict-join on the hash; "
+    "the surviving >=5x dim is orders smaller than the corpus but "
+    "not driver-bounded (millions of repeated alt-texts), so past "
+    "the broadcast threshold it falls back to a shuffled semi-join "
+    "on the same 8-byte key. The length gates are map-side. This "
+    "query keeps the literal-caption broadcast form the oracle can "
+    "mirror exactly",
 )
 def multimodal_caption_filter(spark, sf_dir):
     from omni_crawler_spark.analytics.registry import ordered_small
