@@ -88,6 +88,8 @@ HEADLINE = [
     "crawl_trap_detect",
     "crawl_redirect_resolve",
     "multimodal_caption_filter",
+    "crawl_robots_eval",
+    "pipeline_image_layout",
 ]
 
 DRAIN_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "100000"))

@@ -60,6 +60,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "crawl_trap_detect",           # NEW oracle-paired URL-trap filter
     "crawl_redirect_resolve",      # NEW oracle-paired pointer jumping
     "multimodal_caption_filter",   # NEW oracle-paired caption gate
+    "crawl_robots_eval",           # NEW oracle-paired REP longest-match
+    "pipeline_image_layout",       # NEW oracle-paired image flagship
     # newest driver green is round 2 — stalest first
     "enrich_key_phrases",
     "join_asof_last_error",
@@ -76,7 +78,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # scalar_datetime_parse and join_semi_recent, both simple stable
     # single-op shapes holding r03 driver greens re-verified by the
     # local gate every session)
-    "alerts_eval",
+    # (alerts_eval and dedup_embedding_cosine rotated OUT for the
+    # REP-eval and image-flagship queries — both r03 greens on stable
+    # single-join/single-kernel shapes, re-verified by the local gate
+    # every session; alerts coverage stays via alerts_cooldown_greedy)
     "clean_main_content",
     "corpus_chunk_windows",
     # (corpus_quantiles rotated OUT for multimodal_caption_filter —
@@ -84,7 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     # every session)
     "dedup_cluster_cc",
     "dedup_cluster_cc_star",
-    "dedup_embedding_cosine",
     "enrich_entities_regex",
     "filter_decontaminate",
     "pipeline_pretrain_corpus",

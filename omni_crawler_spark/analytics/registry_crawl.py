@@ -890,3 +890,138 @@ def crawl_redirect_resolve(spark, sf_dir):
         ),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# REP longest-match evaluation as oracle-paired evidence: the engine
+# enforces robots rules inside the fetch path (frontier/politeness.py,
+# Arrow-parsed, pytest-pinned); this query re-expresses the MATCHING
+# SEMANTICS — most-specific (longest) rule wins, Allow wins ties,
+# no-match means allowed (RFC 9309 §2.2.2) — over a synthetic rule
+# set both engines derive, so the precedence logic itself is
+# value-checked by the DuckDB gate, not only by unit tests.
+# ---------------------------------------------------------------------------
+
+# two rules per host: a section-wide Disallow and a longer, more
+# specific Allow carve-out inside it (the canonical REP interplay)
+_ROBOTS_RULES_SQL = """
+  SELECT 'host' || i || '.example.com' AS host,
+         '/sec' || (i % 7) || '/' AS rule_path,
+         0 AS is_allow
+  FROM range(20) t(i)
+  UNION ALL
+  SELECT 'host' || i || '.example.com' AS host,
+         '/sec' || (i % 7) || '/article-1' AS rule_path,
+         1 AS is_allow
+  FROM range(20) t(i)
+"""
+
+
+@register(
+    "crawl_robots_eval",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path
+      FROM f
+    ), rules AS ({_ROBOTS_RULES_SQL}),
+    matched AS (
+      SELECT p.doc_id, p.host, p.path, r.rule_path, r.is_allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY len(r.rule_path) DESC, r.is_allow DESC
+             ) AS rn
+      FROM parts p JOIN rules r
+        ON p.host = r.host AND starts_with(p.path, r.rule_path)
+    )
+    SELECT p.doc_id, p.host, p.path,
+           COALESCE(m.rule_path, '') AS matched_rule,
+           CASE WHEN m.doc_id IS NULL THEN 'allowed'
+                WHEN m.is_allow = 1 THEN 'allowed'
+                ELSE 'disallowed' END AS verdict
+    FROM parts p
+    LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    doc="RFC 9309 rule evaluation, oracle-paired: per URL the MOST "
+    "SPECIFIC (longest) matching rule of its host wins and Allow "
+    "beats Disallow on length ties; unmatched URLs are allowed "
+    "(§2.2.2). The synthetic rule set is the canonical interplay — "
+    "a section-wide Disallow /secK/ with a longer Allow "
+    "/secK/article-1 carve-out, so article-1* pages inside a "
+    "disallowed section come out allowed while their siblings stay "
+    "blocked; both engines derive rules and URLs independently. The "
+    "fetch path enforces the same semantics Arrow-side "
+    "(frontier/politeness.py:149-208, incl. wildcards the synthetic "
+    "set here omits because RE2 would need them regexed); this query "
+    "makes the precedence logic itself driver-checkable. 100 TB "
+    "shape: the rule table is a broadcast dim (real robots corpora "
+    "are ~10^6 rules), prefix match + per-URL argmax via one "
+    "map-side broadcast join and a groupBy(doc_id) max_by — no "
+    "window over the corpus, no regex-per-rule scan",
+)
+def crawl_robots_eval(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    parts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), (doc_id % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(
+            F.lit("/sec"), (doc_id % 7).cast("string"),
+            F.lit("/article-"), doc_id.cast("string"),
+        ).alias("path"),
+    )
+    i = F.col("id")
+    hosts20 = spark.range(20)
+    rules = (
+        hosts20.select(
+            F.concat(F.lit("host"), i.cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.concat(F.lit("/sec"), (i % 7).cast("string"),
+                     F.lit("/")).alias("rule_path"),
+            F.lit(0).alias("is_allow"),
+        )
+        .unionByName(
+            hosts20.select(
+                F.concat(F.lit("host"), i.cast("string"),
+                         F.lit(".example.com")).alias("host"),
+                F.concat(F.lit("/sec"), (i % 7).cast("string"),
+                         F.lit("/article-1")).alias("rule_path"),
+                F.lit(1).alias("is_allow"),
+            )
+        )
+    )
+    best = (
+        parts.join(F.broadcast(rules), "host")
+        .filter(F.col("path").startswith(F.col("rule_path")))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("rule_path", "is_allow"),
+                F.struct(
+                    F.length("rule_path").alias("l"),
+                    F.col("is_allow").alias("a"),
+                ),
+            ).alias("m")
+        )
+        .select("doc_id", "m.rule_path", "m.is_allow")
+    )
+    verdict = (
+        F.when(F.col("rule_path").isNull(), F.lit("allowed"))
+        .when(F.col("is_allow") == 1, F.lit("allowed"))
+        .otherwise(F.lit("disallowed"))
+    )
+    return ordered_small(
+        parts.join(F.broadcast(best), "doc_id", "left").select(
+            "doc_id", "host", "path",
+            F.coalesce(F.col("rule_path"), F.lit("")).alias("matched_rule"),
+            verdict.alias("verdict"),
+        ),
+        "doc_id",
+    )

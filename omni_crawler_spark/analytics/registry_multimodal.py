@@ -442,6 +442,24 @@ def _mm_valid(spark, sf_dir):
     )
 
 
+def _aspect_best():
+    """The all-integer nearest-aspect argmin over _ASPECT_LADDER as a
+    single sort_array-of-structs expression (zero shuffle) — the ONE
+    Spark implementation, shared by multimodal_aspect_buckets and
+    pipeline_image_layout."""
+    entries = [
+        F.struct(
+            (F.abs(F.col("w") * den - F.col("h") * num) * mult)
+            .cast("long")
+            .alias("cost"),
+            F.lit(i).alias("b_idx"),
+            F.lit(name).alias("bucket"),
+        )
+        for i, name, num, den, mult in _ASPECT_LADDER
+    ]
+    return F.sort_array(F.array(*entries))[0]
+
+
 @register(
     "multimodal_aspect_buckets",
     f"""
@@ -483,17 +501,7 @@ def _mm_valid(spark, sf_dir):
 )
 def multimodal_aspect_buckets(spark, sf_dir):
     valid = _mm_valid(spark, sf_dir)
-    entries = [
-        F.struct(
-            (F.abs(F.col("w") * den - F.col("h") * num) * mult)
-            .cast("long")
-            .alias("cost"),
-            F.lit(i).alias("b_idx"),
-            F.lit(name).alias("bucket"),
-        )
-        for i, name, num, den, mult in _ASPECT_LADDER
-    ]
-    best = F.sort_array(F.array(*entries))[0]
+    best = _aspect_best()
     assigned = valid.select(
         "image_id", "w", "h", "fmt",
         best["b_idx"].alias("b_idx"),
@@ -597,6 +605,49 @@ _CAPTION_HOT = 5  # a caption shared by >= this many images is boilerplate
 _CAPTION_MIN_W, _CAPTION_MAX_W = 3, 24
 
 
+def _mm_captions(d):
+    """The ONE Spark twin of ``_MM_CAPTION_SQL`` (doc-prefix captions
+    with planted 'stock photo' boilerplate on every 11th image)."""
+    doc_id = F.col("doc_id")
+    caption = F.when(doc_id % 11 == 0, F.lit("stock photo")).otherwise(
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, (1 + doc_id % 30)),
+            " ",
+        )
+    )
+    return d.select(doc_id.alias("image_id"), caption.alias("caption"))
+
+
+def _caption_verdicts(caps):
+    """(image_id, caption, n_words, verdict) per image — the ONE
+    caption-gate implementation, shared by multimodal_caption_filter
+    and pipeline_image_layout (the same single-source discipline as
+    _mm_meta / _aspect_best)."""
+    hot = (
+        caps.groupBy("caption")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _CAPTION_HOT)
+        .select("caption", F.lit(True).alias("is_hot"))
+    )
+    n_words = F.size(
+        F.filter(F.split(F.col("caption"), " "), lambda x: x != "")
+    ).cast("long")
+    feat = caps.join(F.broadcast(hot), "caption", "left").select(
+        "image_id", "caption",
+        n_words.alias("n_words"),
+        F.coalesce(F.col("is_hot"), F.lit(False)).alias("is_hot"),
+    )
+    verdict = (
+        F.when(F.col("is_hot"), F.lit("boilerplate"))
+        .when(F.col("n_words") < _CAPTION_MIN_W, F.lit("too_short"))
+        .when(F.col("n_words") > _CAPTION_MAX_W, F.lit("too_long"))
+        .otherwise(F.lit("ok"))
+    )
+    return feat.select(
+        "image_id", "caption", "n_words", verdict.alias("verdict")
+    )
+
+
 @register(
     "multimodal_caption_filter",
     f"""
@@ -640,37 +691,136 @@ _CAPTION_MIN_W, _CAPTION_MAX_W = 3, 24
 def multimodal_caption_filter(spark, sf_dir):
     from omni_crawler_spark.analytics.registry import ordered_small
 
-    d = _t(spark, sf_dir, "documents")
-    doc_id = F.col("doc_id")
-    caption = F.when(doc_id % 11 == 0, F.lit("stock photo")).otherwise(
-        F.array_join(
-            F.slice(F.split(F.col("text"), " "), 1, (1 + doc_id % 30)),
-            " ",
-        )
-    )
-    caps = d.select(doc_id.alias("image_id"), caption.alias("caption"))
-    hot = (
-        caps.groupBy("caption")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= _CAPTION_HOT)
-        .select("caption", F.lit(True).alias("is_hot"))
-    )
-    n_words = F.size(
-        F.filter(F.split(F.col("caption"), " "), lambda x: x != "")
-    ).cast("long")
-    feat = caps.join(F.broadcast(hot), "caption", "left").select(
-        "image_id", "caption",
-        n_words.alias("n_words"),
-        F.coalesce(F.col("is_hot"), F.lit(False)).alias("is_hot"),
-    )
-    verdict = (
-        F.when(F.col("is_hot"), F.lit("boilerplate"))
-        .when(F.col("n_words") < _CAPTION_MIN_W, F.lit("too_short"))
-        .when(F.col("n_words") > _CAPTION_MAX_W, F.lit("too_long"))
-        .otherwise(F.lit("ok"))
-    )
     return ordered_small(
-        feat.select("image_id", "caption", "n_words",
-                    verdict.alias("verdict")),
+        _caption_verdicts(_mm_captions(_t(spark, sf_dir, "documents"))),
         "image_id",
+    )
+
+
+@register(
+    "pipeline_image_layout",
+    f"""
+    WITH meta AS ({_MM_META_SQL}),
+    valid AS ({_MM_VALID_SQL}),
+    caps AS ({_MM_CAPTION_SQL}),
+    hot AS (
+      SELECT caption FROM caps
+      GROUP BY caption HAVING COUNT(*) >= {_CAPTION_HOT}
+    ),
+    capok AS (
+      SELECT image_id FROM caps
+      WHERE caption NOT IN (SELECT caption FROM hot)
+        AND len(list_filter(string_split(caption, ' '), x -> x <> ''))
+            BETWEEN {_CAPTION_MIN_W} AND {_CAPTION_MAX_W}
+    ),
+    gated AS (
+      SELECT v.* FROM valid v SEMI JOIN capok c USING (image_id)
+    ),
+    ladder(b_idx, bucket, num, den, mult) AS (
+      VALUES {", ".join(f"({i}, '{n}', {p}, {q}, {m})"
+                        for i, n, p, q, m in _ASPECT_LADDER)}
+    ),
+    best AS (
+      SELECT g.image_id, l.b_idx,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.image_id
+               ORDER BY abs(g.w * l.den - g.h * l.num) * l.mult, l.b_idx
+             ) AS rn
+      FROM gated g CROSS JOIN ladder l
+    ),
+    sized AS (
+      SELECT image_id, CAST(w * h * 3 AS BIGINT) AS est_bytes FROM gated
+    ),
+    offs AS (
+      SELECT image_id, est_bytes,
+             CAST(COALESCE(SUM(est_bytes) OVER (
+               ORDER BY image_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM sized
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM meta) AS n_images,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM valid) AS n_meta_valid,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM gated) AS n_caption_ok,
+      (SELECT CAST(COUNT(DISTINCT b_idx) AS BIGINT)
+         FROM best WHERE rn = 1) AS n_buckets_used,
+      (SELECT CAST(COUNT(DISTINCT cum_before // {_WDS_SHARD_CAP})
+         AS BIGINT) FROM offs) AS n_shards,
+      (SELECT CAST(COALESCE(SUM(est_bytes), 0) AS BIGINT)
+         FROM sized) AS total_bytes
+    """,
+    doc="the END-TO-END image training-layout pipeline, fully oracle-"
+    "paired (the flagship composition for the image side, like "
+    "pipeline_pretrain_corpus for text): stored-metadata validation "
+    "→ caption boilerplate/length gate → nearest-aspect bucket "
+    "assignment → byte-budget shard manifest, with each stage's "
+    "count in one summary row so the oracle proves every stage "
+    "acted. Every stage is the SAME single-source implementation "
+    "its standalone query uses (_mm_meta/_mm_valid, "
+    "_mm_captions/_caption_verdicts, _aspect_best, "
+    "exclusive_prefix_sum) — the composition can't drift from the "
+    "parts. gated is localCheckpointed once: four counts hang off "
+    "it and would otherwise re-run the caption groupBy-join chain "
+    "per count job. 100 TB shape: the stages compose map-side "
+    "except one small-dim broadcast join (hot captions), one "
+    "broadcast semi-join (caption gate), and the two-level prefix "
+    "scan — identical shapes to the standalone queries",
+)
+def pipeline_image_layout(spark, sf_dir):
+    from omni_crawler_spark.analytics.registry import exclusive_prefix_sum
+
+    d = _t(spark, sf_dir, "documents")
+    meta = _mm_meta(d)
+    valid = _mm_valid(spark, sf_dir)
+    capok = (
+        _caption_verdicts(_mm_captions(d))
+        .filter(F.col("verdict") == "ok")
+        .select("image_id")
+    )
+    gated = (
+        valid.join(F.broadcast(capok), "image_id", "left_semi")
+        .localCheckpoint()
+    )
+    best = _aspect_best()
+    assigned = gated.select("image_id", best["b_idx"].alias("b_idx"))
+    sized = gated.select(
+        "image_id",
+        (F.col("w").cast("long") * F.col("h") * 3).alias("est_bytes"),
+    )
+    offs = exclusive_prefix_sum(sized, "image_id", "est_bytes",
+                                _WDS_BUCKET_W)
+    return (
+        meta.agg(F.count(F.lit(1)).alias("n_images"))
+        .crossJoin(
+            F.broadcast(valid.agg(F.count(F.lit(1)).alias("n_meta_valid")))
+        )
+        .crossJoin(
+            F.broadcast(gated.agg(F.count(F.lit(1)).alias("n_caption_ok")))
+        )
+        .crossJoin(
+            F.broadcast(
+                assigned.agg(
+                    F.countDistinct("b_idx").cast("long")
+                    .alias("n_buckets_used")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                offs.agg(
+                    F.countDistinct(
+                        (F.col("cum_before") / _WDS_SHARD_CAP).cast("long")
+                    ).cast("long").alias("n_shards")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                sized.agg(
+                    F.coalesce(F.sum("est_bytes"), F.lit(0))
+                    .cast("long").alias("total_bytes")
+                )
+            )
+        )
     )

@@ -225,3 +225,43 @@ def test_redirect_resolve_closed_form(spark, sf_dir):
         assert r.terminal_id == r.doc_id - r.doc_id % 7, r
         assert r.hops == r.doc_id % 7, r
         assert r.status == ("terminal" if r.hops == 0 else "redirected")
+
+
+def test_robots_eval_longest_match_precedence(spark, sf_dir):
+    """REP semantics in the oracle-paired query: pages inside their
+    host's disallowed section are blocked UNLESS the longer
+    /secK/article-1 Allow carve-out matches (most-specific wins,
+    RFC 9309 §2.2.2); pages outside the section match no rule and
+    are allowed."""
+    rows = REGISTRY["crawl_robots_eval"].build(spark, sf_dir).collect()
+    assert rows
+    blocked = carved = unmatched = 0
+    for r in rows:
+        in_section = (r.doc_id % 7) == ((r.doc_id % 20) % 7)
+        if not in_section:
+            assert r.verdict == "allowed" and r.matched_rule == "", r
+            unmatched += 1
+        elif r.path.split("article-")[1].startswith("1"):
+            assert r.verdict == "allowed", r
+            assert r.matched_rule.endswith("article-1"), r
+            carved += 1
+        else:
+            assert r.verdict == "disallowed", r
+            blocked += 1
+    assert blocked and carved and unmatched
+
+
+def test_pipeline_image_layout_stage_monotone(spark, sf_dir):
+    """The flagship image-layout composition: stage counts are
+    monotone non-increasing, every planted-invalid family is
+    actually removed, and the shard count matches the byte total
+    under the floor(cum/cap) policy."""
+    r = REGISTRY["pipeline_image_layout"].build(spark, sf_dir).first()
+    assert r.n_images >= r.n_meta_valid >= r.n_caption_ok > 0
+    assert r.n_meta_valid < r.n_images       # %37/%41/%29 plants removed
+    assert r.n_caption_ok < r.n_meta_valid   # %11 boilerplate removed
+    assert 1 <= r.n_buckets_used <= 5
+    assert r.n_shards >= 1
+    # floor policy: shards cover [0, total) in cap-sized strides
+    cap = 1 << 20
+    assert r.n_shards <= r.total_bytes // cap + 1
