@@ -902,8 +902,19 @@ def crawl_redirect_resolve(spark, sf_dir):
 # value-checked by the DuckDB gate, not only by unit tests.
 # ---------------------------------------------------------------------------
 
-# two rules per host: a section-wide Disallow and a longer, more
-# specific Allow carve-out inside it (the canonical REP interplay)
+# five rules per host, planted so every RFC 9309 matching feature
+# provably FIRES on reachable doc_ids (sections: K = host%7 holds all
+# ids < 20 of that host; K2 = (host+1)%7 holds the 20-id slices where
+# 20k ≡ 1 mod 7, i.e. ids 120-139, 260-279, ...):
+#   r1 Disallow /secK/              literal section block
+#   r2 Allow    /secK/article-1     longer literal carve-out
+#   r3 Disallow /secK2/article-1*3  wildcard block (123 → blocked)
+#   r4 Allow    /secK2/article-13*  wildcard carve-out that TIES r3's
+#                                   length on ids 130-139 → Allow
+#                                   wins the tie
+#   r5 Disallow /secK/article-19$   anchored rule, LONGER than r2 →
+#                                   doc 19 blocked despite the
+#                                   article-1 carve-out
 _ROBOTS_RULES_SQL = """
   SELECT 'host' || i || '.example.com' AS host,
          '/sec' || (i % 7) || '/' AS rule_path,
@@ -913,6 +924,21 @@ _ROBOTS_RULES_SQL = """
   SELECT 'host' || i || '.example.com' AS host,
          '/sec' || (i % 7) || '/article-1' AS rule_path,
          1 AS is_allow
+  FROM range(20) t(i)
+  UNION ALL
+  SELECT 'host' || i || '.example.com' AS host,
+         '/sec' || ((i + 1) % 7) || '/article-1*3' AS rule_path,
+         0 AS is_allow
+  FROM range(20) t(i)
+  UNION ALL
+  SELECT 'host' || i || '.example.com' AS host,
+         '/sec' || ((i + 1) % 7) || '/article-13*' AS rule_path,
+         1 AS is_allow
+  FROM range(20) t(i)
+  UNION ALL
+  SELECT 'host' || i || '.example.com' AS host,
+         '/sec' || (i % 7) || '/article-19$' AS rule_path,
+         0 AS is_allow
   FROM range(20) t(i)
 """
 
@@ -927,15 +953,22 @@ _ROBOTS_RULES_SQL = """
              regexp_extract(url, '^https://([^/]+)', 1) AS host,
              regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path
       FROM f
-    ), rules AS ({_ROBOTS_RULES_SQL}),
+    ), rules0 AS ({_ROBOTS_RULES_SQL}),
+    rules AS (
+      SELECT host, rule_path, is_allow,
+             '^' || replace(rule_path, '*', '.*') AS rule_re,
+             len(replace(rule_path, '$', '')) AS rule_len
+      FROM rules0
+    ),
     matched AS (
       SELECT p.doc_id, p.host, p.path, r.rule_path, r.is_allow,
              ROW_NUMBER() OVER (
                PARTITION BY p.doc_id
-               ORDER BY len(r.rule_path) DESC, r.is_allow DESC
+               ORDER BY r.rule_len DESC, r.is_allow DESC,
+                        r.rule_path DESC
              ) AS rn
       FROM parts p JOIN rules r
-        ON p.host = r.host AND starts_with(p.path, r.rule_path)
+        ON p.host = r.host AND regexp_matches(p.path, r.rule_re)
     )
     SELECT p.doc_id, p.host, p.path,
            COALESCE(m.rule_path, '') AS matched_rule,
@@ -946,22 +979,28 @@ _ROBOTS_RULES_SQL = """
     LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (doc_id)
     ORDER BY p.doc_id
     """,
-    doc="RFC 9309 rule evaluation, oracle-paired: per URL the MOST "
-    "SPECIFIC (longest) matching rule of its host wins and Allow "
-    "beats Disallow on length ties; unmatched URLs are allowed "
-    "(§2.2.2). The synthetic rule set is the canonical interplay — "
-    "a section-wide Disallow /secK/ with a longer Allow "
-    "/secK/article-1 carve-out, so article-1* pages inside a "
-    "disallowed section come out allowed while their siblings stay "
-    "blocked; both engines derive rules and URLs independently. The "
-    "fetch path enforces the same semantics Arrow-side "
-    "(frontier/politeness.py:149-208, incl. wildcards the synthetic "
-    "set here omits because RE2 would need them regexed); this query "
-    "makes the precedence logic itself driver-checkable. 100 TB "
-    "shape: the rule table is a broadcast dim (real robots corpora "
-    "are ~10^6 rules), prefix match + per-URL argmax via one "
+    doc="RFC 9309 rule evaluation, oracle-paired and covering the "
+    "FULL matching grammar: prefix rules, '*' wildcards (any "
+    "octets), '$' end anchors, MOST-SPECIFIC-wins (longest rule, "
+    "anchor excluded from the length), Allow beats Disallow on "
+    "ties, and unmatched-means-allowed (§2.2.2). The synthetic set "
+    "plants each interplay on REACHABLE doc_ids: a section-wide "
+    "Disallow /secK/ with a longer literal Allow /secK/article-1 "
+    "carve-out; in the next section a wildcard Disallow "
+    "/secK'/article-1*3 (blocks 123) whose wildcard Allow "
+    "/secK'/article-13* carve-out TIES its length on ids 130-139 — "
+    "so the Allow-wins-ties rule is value-checked; and an anchored "
+    "Disallow /secK/article-19$ that out-lengths the article-1 "
+    "carve-out, blocking exactly doc 19 — '$' and "
+    "longest-overrides-Allow checked together. "
+    "Rules translate to regexes at parse time in BOTH engines "
+    "('*'→'.*', '^' prefix anchor, '$' passes through — the same "
+    "translation frontier/politeness.py:149-208 applies on the "
+    "fetch path, where literal rules keep a startswith fast path). "
+    "100 TB shape: the rule table is a broadcast dim (real robots "
+    "corpora are ~10^6 rules), regex match + per-URL argmax via one "
     "map-side broadcast join and a groupBy(doc_id) max_by — no "
-    "window over the corpus, no regex-per-rule scan",
+    "window over the corpus",
 )
 def crawl_robots_eval(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -979,34 +1018,45 @@ def crawl_robots_eval(spark, sf_dir):
     )
     i = F.col("id")
     hosts20 = spark.range(20)
-    rules = (
-        hosts20.select(
+
+    def rule(sec: "F.Column", tail: str, is_allow: int):
+        return hosts20.select(
             F.concat(F.lit("host"), i.cast("string"),
                      F.lit(".example.com")).alias("host"),
-            F.concat(F.lit("/sec"), (i % 7).cast("string"),
-                     F.lit("/")).alias("rule_path"),
-            F.lit(0).alias("is_allow"),
+            F.concat(F.lit("/sec"), sec.cast("string"),
+                     F.lit(tail)).alias("rule_path"),
+            F.lit(is_allow).alias("is_allow"),
         )
-        .unionByName(
-            hosts20.select(
-                F.concat(F.lit("host"), i.cast("string"),
-                         F.lit(".example.com")).alias("host"),
-                F.concat(F.lit("/sec"), (i % 7).cast("string"),
-                         F.lit("/article-1")).alias("rule_path"),
-                F.lit(1).alias("is_allow"),
-            )
+
+    rules = (
+        rule(i % 7, "/", 0)
+        .unionByName(rule(i % 7, "/article-1", 1))
+        .unionByName(rule((i + 1) % 7, "/article-1*3", 0))
+        .unionByName(rule((i + 1) % 7, "/article-13*", 1))
+        .unionByName(rule(i % 7, "/article-19$", 0))
+        .withColumn(
+            "rule_re",
+            F.concat(
+                F.lit("^"),
+                F.regexp_replace("rule_path", "\\*", ".*"),
+            ),
+        )
+        .withColumn(
+            "rule_len",
+            F.length(F.regexp_replace("rule_path", "\\$", "")),
         )
     )
     best = (
         parts.join(F.broadcast(rules), "host")
-        .filter(F.col("path").startswith(F.col("rule_path")))
+        .filter(F.expr("path rlike rule_re"))
         .groupBy("doc_id")
         .agg(
             F.max_by(
                 F.struct("rule_path", "is_allow"),
                 F.struct(
-                    F.length("rule_path").alias("l"),
+                    F.col("rule_len").alias("l"),
                     F.col("is_allow").alias("a"),
+                    F.col("rule_path").alias("p"),
                 ),
             ).alias("m")
         )

@@ -228,27 +228,50 @@ def test_redirect_resolve_closed_form(spark, sf_dir):
 
 
 def test_robots_eval_longest_match_precedence(spark, sf_dir):
-    """REP semantics in the oracle-paired query: pages inside their
-    host's disallowed section are blocked UNLESS the longer
-    /secK/article-1 Allow carve-out matches (most-specific wins,
-    RFC 9309 §2.2.2); pages outside the section match no rule and
-    are allowed."""
+    """REP semantics in the oracle-paired query, re-derived by a
+    THIRD implementation (Python re over the same synthetic rule
+    set): longest rule wins ('$' excluded from the length), Allow
+    beats Disallow on ties — the wildcard Disallow article-*3 vs its
+    anchored Allow article-13$ is an exact length tie — and
+    unmatched means allowed."""
+    import re
+
     rows = REGISTRY["crawl_robots_eval"].build(spark, sf_dir).collect()
     assert rows
-    blocked = carved = unmatched = 0
     for r in rows:
-        in_section = (r.doc_id % 7) == ((r.doc_id % 20) % 7)
-        if not in_section:
-            assert r.verdict == "allowed" and r.matched_rule == "", r
-            unmatched += 1
-        elif r.path.split("article-")[1].startswith("1"):
-            assert r.verdict == "allowed", r
-            assert r.matched_rule.endswith("article-1"), r
-            carved += 1
+        n = r.doc_id % 20
+        rules = [
+            (f"/sec{n % 7}/", 0),
+            (f"/sec{n % 7}/article-1", 1),
+            (f"/sec{(n + 1) % 7}/article-1*3", 0),
+            (f"/sec{(n + 1) % 7}/article-13*", 1),
+            (f"/sec{n % 7}/article-19$", 0),
+        ]
+        hits = [
+            (len(p.replace("$", "")), a, p)
+            for p, a in rules
+            if re.match("^" + p.replace("*", ".*"), r.path)
+        ]
+        if not hits:
+            assert (r.verdict, r.matched_rule) == ("allowed", ""), r
         else:
-            assert r.verdict == "disallowed", r
-            blocked += 1
-    assert blocked and carved and unmatched
+            ln, allow, pat = max(hits)
+            assert r.matched_rule == pat, (r, hits)
+            assert r.verdict == ("allowed" if allow else "disallowed"), r
+    # every grammar feature fires at this SF:
+    by_id = {r.doc_id: r for r in rows}
+    assert any(r.matched_rule == "" and r.verdict == "allowed"
+               for r in rows)                             # no match
+    assert any(r.matched_rule.endswith("/") and r.verdict == "disallowed"
+               for r in rows)                             # literal block
+    assert any(r.matched_rule.endswith("article-1")
+               and r.verdict == "allowed" for r in rows)  # literal carve
+    assert by_id[123].verdict == "disallowed"             # wildcard block
+    assert by_id[123].matched_rule.endswith("article-1*3")
+    assert by_id[135].verdict == "allowed"                # tie: Allow wins
+    assert by_id[135].matched_rule.endswith("article-13*")
+    assert by_id[19].verdict == "disallowed"              # '$' + longest
+    assert by_id[19].matched_rule.endswith("article-19$")
 
 
 def test_pipeline_image_layout_stage_monotone(spark, sf_dir):
