@@ -594,7 +594,14 @@ _DECON_EVAL = (0, 8, 89)  # stand-in "benchmark" docs
 )
 def filter_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    w = d.select(
+    # hash-repartition before the sliding-gram explode: the
+    # single-row-group documents scan is ONE task, and the 13-word
+    # gram construction (an interpreted HOF per start position) would
+    # otherwise run serially over the whole corpus (guide §2.5). The
+    # eval-doc subtree's doc_id filter still pushes through the
+    # exchange to the scan, so eval_grams stays a 3-doc read.
+    par = spark.sparkContext.defaultParallelism
+    w = d.repartition(par, "doc_id").select(
         "doc_id",
         F.split("text", " ").alias("words"),
         F.size(F.split("text", " ")).alias("n"),
@@ -706,7 +713,10 @@ def pipeline_pretrain_corpus(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    w = d.select(
+    # same single-task-scan fix as filter_decontaminate: spread the
+    # 13-gram HOF construction before exploding it
+    par = spark.sparkContext.defaultParallelism
+    w = d.repartition(par, "doc_id").select(
         "doc_id",
         F.split("text", " ").alias("words"),
         F.size(F.split("text", " ")).alias("n"),

@@ -61,7 +61,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "text",
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    jac = F.round(D.jaccard_pair_udf(5)(F.col("a.text"), F.col("b.text")), 4)
+    jac = F.round(D.jaccard_pair_udf(5)(F.col("txt_a"), F.col("txt_b")), 4)
+    # the block join fans 50k docs out to ~660k pairs at sf1.0, but
+    # AQE coalesces the post-join stage by shuffle BYTES (a few MB of
+    # text) onto 1-2 tasks — the hash repartition spreads the
+    # CPU-bound Jaccard kernel over the cluster's cores (guide §2.5).
+    # Partitioning by the BLOCK key (not the pair ids) keeps each
+    # block's pairs in one Arrow batch run, so the kernel's per-batch
+    # shingle memo gets ~blocksize hits per doc instead of ~0
+    # (measured 3.6s vs 8.4s for the verify stage at sf1.0).
+    par = spark.sparkContext.defaultParallelism
     return (
         a.join(
             b,
@@ -70,10 +79,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.len_bucket").alias("len_bucket"),
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
+            F.col("a.text").alias("txt_a"),
+            F.col("b.text").alias("txt_b"),
         )
+        .repartition(par, "lang", "len_bucket")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .transform(lambda df: ordered_small(df, "id_a", "id_b"))
     )
@@ -221,7 +235,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     "collision rates; recovery pytest-pinned in tests/test_dedup.py",
 )
 def dedup_minhash_realistic(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # repartition BEFORE the per-word salting transform: the salting
+    # is an interpreted HOF over every word of every doc, and the
+    # single-row-group documents scan is one task — without the
+    # exchange the whole corpus construction runs serially (guide
+    # §2.5 input skew).
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(par, "doc_id")
     salted = d.select(
         "doc_id",
         F.concat_ws(
@@ -238,7 +258,10 @@ def dedup_minhash_realistic(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat("text", F.lit(" x2")).alias("text"),
     )
-    corpus = salted.unionByName(copies)
+    # materialize the salted corpus once: three consumers (the
+    # signature pass and both verify text-attach joins) would each
+    # recompute the per-word salting HOF otherwise
+    corpus = salted.unionByName(copies).localCheckpoint()
     cand = D.minhash_lsh_candidates(
         corpus, "doc_id", "text", num_perm=30, bands=5
     )
@@ -660,7 +683,13 @@ def pipeline_training_data(spark, sf_dir):
     exact = D.exact_dedup(gated, "text", "doc_id").localCheckpoint()
     a = exact.select("doc_id", "lang", "n_chars", "text").alias("a")
     b = exact.select("doc_id", "lang", "n_chars", "text").alias("b")
-    jac = F.round(D.jaccard_pair_udf(5)(F.col("a.text"), F.col("b.text")), 4)
+    jac = F.round(D.jaccard_pair_udf(5)(F.col("txt_a"), F.col("txt_b")), 4)
+    # repartition between the block join and the Jaccard kernel: AQE
+    # coalesces the post-join stage by shuffle bytes onto 1-2 tasks
+    # while the kernel is CPU-bound; partitioning by the BLOCK key
+    # keeps each block's pairs together for the kernel's per-batch
+    # shingle memo (same fix as dedup_ngram_jaccard)
+    par = spark.sparkContext.defaultParallelism
     near_drops = (
         a.join(
             b,
@@ -668,9 +697,18 @@ def pipeline_training_data(spark, sf_dir):
             & (F.col("a.n_chars") == F.col("b.n_chars"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.n_chars").alias("n_chars"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.text").alias("txt_a"),
+            F.col("b.text").alias("txt_b"),
+        )
+        .repartition(par, "lang", "n_chars")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
-        .select(F.col("b.doc_id").alias("doc_id"))
+        .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
     kept = exact.join(near_drops, "doc_id", "left_anti")

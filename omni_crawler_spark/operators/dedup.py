@@ -153,9 +153,18 @@ def minhash_lsh_candidates(
     # persist them so the size pre-pass and the bucket aggregation
     # both read the cached (id, sig) rows instead of re-running the
     # UDF; the cache is num_perm longs/doc, ~1/50 of the text bytes.
-    sig = df.select(
-        F.col(id_col), sig_udf(F.col(text_col)).alias("sig")
-    ).persist()
+    # The hash repartition unbinds the CPU-bound Arrow kernel from the
+    # scan's task count (a single-row-group parquet file scans as ONE
+    # task, serializing the whole signature pass on one core; guide
+    # §2.5 input skew) — partition count follows the cluster's core
+    # count, not a constant.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par, F.col(id_col))
+        .select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+        .persist()
+    )
     banded = sig.select(
         id_col,
         F.explode(
@@ -224,6 +233,15 @@ def jaccard_pair_udf(shingle_k: int = 5):
     ``array_intersect``/``array_union`` column plan, where a NULL text
     propagated to a NULL jaccard. Without this, two NULL-content docs
     would share the degenerate empty-string shingle set and score 1.0.
+
+    Marked non-deterministic (guide §4.4): the optimizer otherwise
+    pushes a caller's ``jaccard >= t`` filter below the projection and
+    evaluates the kernel TWICE (two ArrowEvalPython nodes — once for
+    the filter over every pair, once for the surviving projection);
+    the function is pure, the marking only stops the duplication.
+    ``|A∪B|`` is computed arithmetically (|A|+|B|−|A∩B|) instead of
+    materializing the union set — same value, one C-level set op per
+    pair instead of two.
     """
 
     @pandas_udf(DoubleType())
@@ -241,15 +259,17 @@ def jaccard_pair_udf(shingle_k: int = 5):
                 memo[t] = s
             return s
 
-        out = [
-            None
-            if a is None or b is None
-            else len((sa := shingles(a)) & (sb := shingles(b))) / len(sa | sb)
-            for a, b in zip(ta, tb)
-        ]
+        out = []
+        for a, b in zip(ta, tb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            sa, sb = shingles(a), shingles(b)
+            inter = len(sa & sb)
+            out.append(inter / (len(sa) + len(sb) - inter))
         return pd.Series(out, dtype="float64")
 
-    return jac
+    return jac.asNondeterministic()
 
 
 def jaccard_verify(
@@ -262,13 +282,25 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs → confirmed near-dups.
     Joins are semi-bounded by the candidate count, never n². The
-    Jaccard itself runs in the vectorized pandas kernel above."""
+    Jaccard itself runs in the vectorized pandas kernel above.
+
+    The hash repartition between the text-attach joins and the kernel
+    exists because AQE coalesces the post-join stage by shuffle BYTES
+    — a few MB of text for 10^5+ pairs lands on 1-2 tasks, and the
+    CPU-bound Arrow kernel then runs near-serially (measured 2/32
+    cores busy at sf1.0). Partitioning + sorting by ``id_a`` clusters
+    each left doc's pairs into one Arrow-batch run so the kernel's
+    per-batch shingle memo hits on the left text; pair rows are
+    small, so the extra exchange is noise next to the kernel."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     txt = df.select(F.col(id_col), F.col(text_col).alias("_txt"))
     j = (
         candidates.join(
             txt.withColumnsRenamed({id_col: "id_a", "_txt": "txt_a"}), "id_a"
         )
         .join(txt.withColumnsRenamed({id_col: "id_b", "_txt": "txt_b"}), "id_b")
+        .repartition(par, "id_a")
+        .sortWithinPartitions("id_a")
         .withColumn(
             "jaccard",
             F.round(jaccard_pair_udf(shingle_k)("txt_a", "txt_b"), 4),
@@ -441,6 +473,7 @@ def hamming_near_dups(
     n_bands: int | None = None,
     max_bucket_size: int | None = 1000,
     sig_bits: int = 64,
+    probe_parts: int | None = None,
 ) -> DataFrame:
     """All pairs with hamming(sig_a, sig_b) <= max_hamming over a
     64-bit ``sig`` column — the shared blocking core of SimHash text
@@ -473,7 +506,30 @@ def hamming_near_dups(
     distinct values whose buckets blow past the cap as the corpus
     grows — recall silently dies exactly when the data gets big.
     Bands over ``sig_bits`` keep every band's value space full-width.
+
+    ``probe_parts`` switches to MULTI-INDEX probing (Norouzi et al.,
+    "Fast Search in Hamming Space with Multi-Index Hashing", CVPR'12):
+    split the signature into ``probe_parts`` WIDE parts and emit every
+    value within hamming radius q of each part value, where
+    ``r = max_hamming // probe_parts`` (pigeonhole: a pair within
+    ``max_hamming`` has some part within r) and ``q = ceil(r/2)``
+    (symmetric balls of radius q intersect whenever the part distance
+    is <= 2q >= r — pick the midpoint value). Same full-recall
+    guarantee as the banded path whenever no probe bucket exceeds the
+    cap, but the candidate count collapses: the d+1-band minimum
+    forces ~sig_bits/(d+1)-bit bands whose buckets grow linearly with
+    the corpus (n=50k random 60-bit sigs at d=8 → 9 bands of ~7 bits
+    → ~117M candidate rows), while 3 parts of 20 bits with radius-1
+    probes cost 21 probe rows/part/doc and collide at
+    ~|ball(2)|/2^20 ≈ 2e-4 per random pair (~1.6M rows, 73x less).
+    Only q <= 1 is implemented (covers max_hamming <= 2*probe_parts
+    + probe_parts - 1); a larger max_hamming/parts ratio raises
+    ValueError rather than silently losing recall.
     """
+    if probe_parts is not None:
+        return _hamming_near_dups_probed(
+            sig, id_col, max_hamming, probe_parts, max_bucket_size, sig_bits
+        )
     if n_bands is None:
         n_bands = max_hamming + 1
     if not 1 <= n_bands <= sig_bits <= 64:
@@ -512,6 +568,14 @@ def hamming_near_dups(
             sizes.filter(F.col("_n") <= max_bucket_size), ["band", "val"]
         ).drop("_n")
     a, b = bands.alias("a"), bands.alias("b")
+    # hamming (a pure function of the pair) is filtered BEFORE the
+    # distinct: the popcount is codegen'd and nearly free per join
+    # row, while distinct is a full shuffle of the join output — on
+    # random signatures almost every candidate fails the threshold,
+    # so filtering first shrinks that shuffle from the collision
+    # count to the true-pair count. Same rows out (the filter
+    # commutes with distinct because hamming is determined by the
+    # pair).
     pairs = (
         a.join(
             b,
@@ -524,9 +588,121 @@ def hamming_near_dups(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64_cols(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
+
+
+def _hamming_near_dups_probed(
+    sig: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    probe_parts: int,
+    max_bucket_size: int | None,
+    sig_bits: int,
+) -> DataFrame:
+    """Multi-index-probing body of ``hamming_near_dups`` (see its
+    docstring): wide parts + radius-q probe balls instead of d+1
+    narrow exact-match bands. One shuffle (the bucket groupBy), pair
+    expansion executor-side after the cap gate — the same shape as
+    minhash_lsh_candidates, with the full signature carried through
+    the 8-byte bucket rows so the exact popcount verify needs no
+    extra join."""
+    if not 1 <= probe_parts <= sig_bits <= 64:
+        raise ValueError(
+            f"need 1 <= probe_parts <= sig_bits <= 64, got "
+            f"probe_parts={probe_parts}, sig_bits={sig_bits}"
+        )
+    r = max_hamming // probe_parts
+    q = (r + 1) // 2
+    if q > 1:
+        raise ValueError(
+            f"probe radius {q} > 1 not implemented: raise probe_parts "
+            f"(need max_hamming // probe_parts <= 2, got "
+            f"{max_hamming} // {probe_parts} = {r})"
+        )
+    bounds = [(b * sig_bits) // probe_parts for b in range(probe_parts + 1)]
+    probe_structs = []
+    for b in range(probe_parts):
+        lo, width = bounds[b], bounds[b + 1] - bounds[b]
+        mask = (1 << width) - 1
+        val = (
+            F.shiftrightunsigned(F.col("sig"), lo)
+            .bitwiseAND(F.lit(mask))
+        )
+        probes = [val]
+        if q == 1:
+            probes += [val.bitwiseXOR(F.lit(1 << i)) for i in range(width)]
+        probe_structs += [
+            F.struct(F.lit(b).alias("band"), pv.alias("val"))
+            for pv in probes
+        ]
+    # hash-repartition before the probe explode: the upstream is often
+    # a single-row-group parquet scan (one task), and the explode fans
+    # each row out ~probe_parts*(width+1)x — without the exchange both
+    # the cap pre-pass and the bucket aggregation would rebuild the
+    # whole probe stream serially. The persist shares the exploded
+    # probes between the two consumers instead of computing them twice.
+    par = sig.sparkSession.sparkContext.defaultParallelism
+    bands = (
+        sig.repartition(par, F.col(id_col))
+        .select(
+            id_col,
+            "sig",
+            F.explode(F.array(*probe_structs)).alias("bk"),
+        )
+        .select(id_col, "sig", "bk.band", "bk.val")
+        .persist()
+    )
+    if max_bucket_size is not None:
+        oversized = (
+            bands.groupBy("band", "val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "val")
+        )
+        bands = bands.join(
+            F.broadcast(oversized), ["band", "val"], "left_anti"
+        )
+    buckets = (
+        bands.groupBy("band", "val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "sig"))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pairs = (
+        buckets.select(
+            F.posexplode("members").alias("_i", "a"), "members"
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.explode(
+                F.slice(
+                    "members",
+                    F.col("_i") + 2,
+                    F.greatest(F.lit(0), F.size("members")),
+                )
+            ).alias("b"),
+        )
+        .select(
+            "id_a",
+            F.col("b.id").alias("id_b"),
+            hamming64_cols(F.col("sig_a"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        # eager: the confirmed-pair set is threshold-bounded tiny;
+        # materializing it here lets the probe cache be released
+        # before returning (no cached blocks outlive the call).
+        .localCheckpoint()
+    )
+    bands.unpersist()
+    return pairs
 
 
 def simhash_candidates(
