@@ -360,7 +360,11 @@ def agg_pivot_daily_type(spark, sf_dir):
     doc="A8 — tokenize, stopword-filter, top-15 (content_enricher.py:164-178)",
 )
 def agg_word_topk(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # hash-repartition off the single-task scan so the tokenize +
+    # explode + partial aggregation run in parallel; the post-shuffle
+    # word groupBy is tiny either way (guide §2.5)
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(par, "doc_id")
     stop = F.array(*[F.lit(w) for w in E.STOPWORDS])
     return (
         d.select(F.explode(T.words(F.col("text"))).alias("word"))

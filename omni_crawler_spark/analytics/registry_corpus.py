@@ -166,7 +166,13 @@ def _bm25_oracle() -> str:
     "identical before ROUND",
 )
 def search_bm25(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # repartition off the single-task scan (the per-term HOF tf
+    # filters are the CPU cost), and materialize the narrow per-doc
+    # stats once — BOTH the corpus-stats aggregate and the scoring
+    # join consume per_doc, which would otherwise re-run the
+    # tokenize/tf pass per consumer (guide §2.5)
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(par, "doc_id")
     words = F.split("text", " ")
 
     def _tf(term):
@@ -176,7 +182,7 @@ def search_bm25(spark, sf_dir):
         "doc_id",
         F.size(words).cast("double").alias("dl"),
         *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
-    )
+    ).localCheckpoint()
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),

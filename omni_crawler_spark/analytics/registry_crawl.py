@@ -360,7 +360,10 @@ _BLOCKLIST = ["host3.example.com", "host7.example.com",
     "CASE so the filter pushes into the scan stage of any consumer",
 )
 def filter_url_blocklist(spark, sf_dir):
-    f = synthetic_frontier(spark, sf_dir)
+    # hash-repartition off the single-task scan: canonicalize_url and
+    # the host/path regex extracts are the CPU cost here (guide §2.5)
+    par = spark.sparkContext.defaultParallelism
+    f = synthetic_frontier(spark, sf_dir).repartition(par, "doc_id")
     parts = f.select(
         "doc_id",
         F.when(

@@ -44,12 +44,19 @@ def enrich_doc_profile(spark, sf_dir):
     read_time = F.greatest(
         F.lit(1), F.bround(n_words / F.lit(200.0)).cast("int")
     )
-    return d.select(
+    # sort FIRST, project after: a trailing orderBy range-partitions
+    # its child, and the RangePartitioner's sampling job executes that
+    # child — i.e. the interpreted HOF projection would run TWICE and
+    # inside the single-task parquet scan stage. Sorting the narrow
+    # (doc_id, text) rows first samples only the cheap scan, spreads
+    # the rows across range partitions, and the projection (order-
+    # preserving, no exchange above it) runs once, in parallel.
+    return d.select("doc_id", "text").orderBy("doc_id").select(
         "doc_id",
         n_words.alias("n_words"),
         read_time.alias("read_time"),
         T.detect_language(F.col("text")).alias("lang_id"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -257,14 +264,18 @@ def text_token_count(spark, sf_dir):
     n_bpe = F.size(
         F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH_RE), F.lit(0))
     )
-    return d.select(
+    # sort-first so the BPE-ish regex pass runs once and in parallel
+    # instead of twice inside the single-task scan (the trailing
+    # orderBy's sampling job re-executes its child — see
+    # enrich_doc_profile)
+    return d.select("doc_id", "text").orderBy("doc_id").select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
         F.round(F.length("text").cast("double") / n_bpe, 4).alias(
             "chars_per_tok"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 # -- n-gram language identification (operators/langid.py) -------------------

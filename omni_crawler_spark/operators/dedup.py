@@ -351,7 +351,10 @@ def passage_dup_pairs(
     distinct passages into one key (~2^-64 per pair); the downstream
     consumer is a near-dup verify/CC stage, which tolerates that.
     """
-    w = docs.select(
+    # hash-repartition off the (often single-task) scan so the
+    # chunk-hash explode parallelizes (guide §2.5)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("words")
     )
     p = (

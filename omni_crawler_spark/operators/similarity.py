@@ -80,7 +80,11 @@ def cosine_topk(
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     )
-    c = embeddings.select(
+    # hash-repartition the corpus side off its (often single-task)
+    # scan: the interpreted HOF-fold cosine below is the CPU cost and
+    # must spread across cores (guide §2.5)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    c = embeddings.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne")
     )
     scored = (

@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES; on this
+        # engine's text tables a few compressed MB routinely fan out
+        # to 10^5-10^6 rows of CPU-heavy downstream work (interpreted
+        # HOFs, Arrow kernels), so the default 1m floor under-splits
+        # CPU-bound stages to 2-5 tasks. 256k keeps small-byte/high-
+        # CPU stages parallel while leaving real (100MB+) shuffles
+        # untouched — at cluster scale partitions are far above any
+        # floor, so this knob only matters where it helps; override
+        # via SPARK_GRAFT_MIN_PARTITION_SIZE for cluster profiles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
