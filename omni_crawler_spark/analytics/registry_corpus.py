@@ -510,7 +510,12 @@ _CHUNK_STRIDE = 48  # overlap 16 words between consecutive windows
     "ordered output — the chunker never moves corpus bytes",
 )
 def corpus_chunk_windows(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # hash-repartition off the single-task scan: the window md5 pass
+    # is the CPU cost, and the trailing orderBy's sampling job
+    # executes the (map-only) lineage a second time — parallel twice
+    # beats serial twice (guide §2.5)
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(par, "doc_id")
     w = d.select(
         "doc_id",
         F.split("text", " ").alias("words"),

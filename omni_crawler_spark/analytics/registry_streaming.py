@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from omni_crawler_spark.analytics.registry import _t, register
+from omni_crawler_spark.analytics.registry import _t, ordered_small, register
 from omni_crawler_spark.streaming import alerts as A
 
 _RULES_VALUES = ", ".join(
@@ -142,14 +142,17 @@ def alerts_cooldown_greedy(spark, sf_dir):
     fired = A.evaluate(
         _metrics(spark, sf_dir), A.default_rules(spark)
     ).dropDuplicates(["rule_id", "ts", "value"])
-    return (
-        A.cooldown_greedy(fired)
-        .select(
+    # ordered_small instead of a global orderBy: the result is tiny
+    # but its lineage (rule join → applyInPandas greedy replay) is
+    # expensive, and a range-exchange orderBy re-executes that
+    # lineage for the RangePartitioner's sampling job
+    return ordered_small(
+        A.cooldown_greedy(fired).select(
             "rule_id", "name", "severity",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
             "value", "metric",
-        )
-        .orderBy("rule_id", "ts_s", "value")
+        ),
+        "rule_id", "ts_s", "value",
     )
 
 

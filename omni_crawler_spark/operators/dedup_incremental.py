@@ -104,9 +104,18 @@ class MinHashIndex:
         """(doc_id, band, band_hash, sig) rows for ``df`` — one
         vectorized signature pass, then a codegen'd band explode."""
         sig_udf = minhash_signature_udf(self.num_perm, self.shingle_k)
-        sig = df.select(
-            F.col(id_col).alias("doc_id"),
-            sig_udf(F.col(text_col)).alias("sig"),
+        # hash-repartition off the (often single-task) scan so the
+        # CPU-bound Arrow signature kernel spreads across the
+        # cluster's cores (guide §2.5; same fix as
+        # operators/dedup.py::minhash_lsh_candidates)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        sig = (
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .repartition(par, "doc_id")
+            .select(
+                "doc_id",
+                sig_udf(F.col(text_col)).alias("sig"),
+            )
         )
         return sig.select(
             "doc_id",
