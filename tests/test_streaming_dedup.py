@@ -4,6 +4,8 @@ exactly-once across restarts."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from omni_crawler_spark.operators.dedup_incremental import MinHashIndex
@@ -186,10 +188,16 @@ def test_streaming_search_upsert_replaces_changed_docs(spark, tmp_path):
     docs_dir = tmp_path / "in"
     docs_dir.mkdir()
     for i, batch in enumerate((v1, v2)):
+        path = docs_dir / f"part-{i}.parquet"
         pq.write_table(
             pa.table({c: [r[j] for r in batch] for j, c in enumerate(cols)}),
-            str(docs_dir / f"part-{i}.parquet"),
+            str(path),
         )
+        # FileStreamSource orders files by MILLISECOND mtime; two
+        # back-to-back writes can land in the same tick, making the
+        # v1-before-v2 batch order (which this test depends on)
+        # nondeterministic. Pin strictly increasing mtimes.
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     kw = dict(
         docs_dir=str(docs_dir),
         index_root=str(tmp_path / "index"),
