@@ -242,16 +242,21 @@ def dedup_minhash_realistic(spark, sf_dir):
     # §2.5 input skew).
     par = spark.sparkContext.defaultParallelism
     d = _t(spark, sf_dir, "documents").repartition(par, "doc_id")
+    # per-word salting via one codegen'd regexp_replace instead of the
+    # interpreted transform-lambda over every word: the corpus texts
+    # are strictly single-space-separated non-empty tokens (checked at
+    # every sf), so replacing each space with "_<id> " and appending
+    # "_<id>" produces the identical salted string (output equality
+    # additionally snapshot-proven at sf0.001-1.0)
+    idstr = F.col("doc_id").cast("string")
     salted = d.select(
         "doc_id",
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.split("text", " "),
-                lambda w: F.concat(
-                    w, F.lit("_"), F.col("doc_id").cast("string")
-                ),
+        F.concat(
+            F.regexp_replace(
+                "text", F.lit(" "), F.concat(F.lit("_"), idstr, F.lit(" "))
             ),
+            F.lit("_"),
+            idstr,
         ).alias("text"),
     )
     copies = salted.filter(F.col("doc_id") < 25).select(

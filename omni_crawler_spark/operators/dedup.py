@@ -626,21 +626,26 @@ def _hamming_near_dups_probed(
             f"{max_hamming} // {probe_parts} = {r})"
         )
     bounds = [(b * sig_bits) // probe_parts for b in range(probe_parts + 1)]
-    probe_structs = []
+    # two-level explode: one struct per PART carrying its extracted
+    # value and a literal array of XOR masks (ball of radius q),
+    # instead of one struct per PROBE each repeating the shift/mask
+    # extraction — probe_parts*(width+1) copies of that subexpression
+    # made the generated code an order of magnitude larger for the
+    # same rows out.
+    part_structs = []
     for b in range(probe_parts):
         lo, width = bounds[b], bounds[b + 1] - bounds[b]
         mask = (1 << width) - 1
-        val = (
-            F.shiftrightunsigned(F.col("sig"), lo)
-            .bitwiseAND(F.lit(mask))
+        xor_masks = [0] + ([1 << i for i in range(width)] if q == 1 else [])
+        part_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("base"),
+                F.array(*[F.lit(m) for m in xor_masks]).alias("masks"),
+            )
         )
-        probes = [val]
-        if q == 1:
-            probes += [val.bitwiseXOR(F.lit(1 << i)) for i in range(width)]
-        probe_structs += [
-            F.struct(F.lit(b).alias("band"), pv.alias("val"))
-            for pv in probes
-        ]
     # hash-repartition before the probe explode: the upstream is often
     # a single-row-group parquet scan (one task), and the explode fans
     # each row out ~probe_parts*(width+1)x — without the exchange both
@@ -653,9 +658,21 @@ def _hamming_near_dups_probed(
         .select(
             id_col,
             "sig",
-            F.explode(F.array(*probe_structs)).alias("bk"),
+            F.explode(F.array(*part_structs)).alias("pk"),
         )
-        .select(id_col, "sig", "bk.band", "bk.val")
+        .select(
+            id_col,
+            "sig",
+            F.col("pk.band").alias("band"),
+            F.col("pk.base").alias("base"),
+            F.explode("pk.masks").alias("m"),
+        )
+        .select(
+            id_col,
+            "sig",
+            "band",
+            F.col("base").bitwiseXOR(F.col("m")).alias("val"),
+        )
         .persist()
     )
     if max_bucket_size is not None:
